@@ -1,0 +1,16 @@
+"""algonauts2025_tpu: a TPU-native (JAX/XLA/Pallas) rebuild of the TRIBE
+trimodal brain encoder pipeline (reference: vovw/algonauts-2025).
+
+Layers (bottom-up):
+- core: time/event/segment primitives (host-side NumPy)
+- config, cache: pydantic config surface + content-addressed array/task caches
+- io: wav/video/fmri readers (host data plane)
+- data: study loaders, enhancers, datasets
+- features: frozen-backbone feature extractors (JAX)
+- models, ops: trainable trunk + Pallas kernels
+- parallel: device mesh / sharding
+- training: optax training loop, metrics, checkpoints
+- experiment, grids: end-to-end experiment app and orchestration
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,126 @@
+"""Per-item cached map execution (exca MapInfra equivalent).
+
+A feature's bulk compute (``_get_data``) maps events -> arrays.  Results
+are cached per item uid in an ArrayStore keyed by the owning config's hash
+(minus its cache-uid exclusions), replicating the reference's contract that
+``device``/``layers`` etc. never invalidate caches (reference
+text.py:153-158) while any semantic config change does.
+"""
+
+from __future__ import annotations
+
+import logging
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+import pydantic
+
+from ..config.uid import config_uid
+from .array_store import ArrayStore
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["MapInfra", "CachedMap"]
+
+
+class MapInfra(pydantic.BaseModel):
+    """Placement/caching config for per-item map computations.
+
+    ``cluster`` values: None (in-process), "threadpool"/"processpool"
+    (host-side parallel map over items).  The reference's "slurm" fanout
+    maps to external multi-host launches; within one program host threads
+    feed the single device stream.
+    """
+
+    model_config = pydantic.ConfigDict(extra="forbid")
+
+    folder: str | Path | None = None
+    mode: tp.Literal["cached", "force", "readonly"] = "cached"
+    version: str = "0"
+    keep_in_ram: bool = True
+    cluster: tp.Optional[str] = None
+    max_jobs: int | None = None
+
+    def _exclude_from_cache_uid(self) -> list[str]:
+        return list(type(self).model_fields)
+
+
+class CachedMap:
+    """Wraps a bulk generator fn with an item-level array cache."""
+
+    def __init__(
+        self,
+        *,
+        infra: MapInfra,
+        owner: pydantic.BaseModel,
+        method_name: str,
+        fn: tp.Callable[[list], tp.Iterable[np.ndarray]],
+        item_uid: tp.Callable[[tp.Any], str],
+    ) -> None:
+        self.infra = infra
+        self.owner = owner
+        self.method_name = method_name
+        self.fn = fn
+        self.item_uid = item_uid
+        self._store: ArrayStore | None = None
+        self._cleared = False
+        self._ram_only: dict[str, np.ndarray] = {}
+
+    @property
+    def store(self) -> ArrayStore | None:
+        if self.infra.folder is None:
+            return None
+        if self._store is None:
+            uid = config_uid(self.owner, version=self.infra.version)
+            folder = Path(self.infra.folder) / uid / self.method_name
+            self._store = ArrayStore(folder, keep_in_ram=self.infra.keep_in_ram)
+            if self.infra.mode == "force" and not self._cleared:
+                self._store.clear()
+                self._cleared = True
+        return self._store
+
+    def __call__(self, items: tp.Sequence[tp.Any]) -> list[np.ndarray]:
+        store = self.store
+        uids = [self.item_uid(it) for it in items]
+        if store is None:
+            # no folder: RAM-only cache for the lifetime of this object
+            missing = [
+                (u, it)
+                for u, it in zip(uids, items)
+                if u not in self._ram_only
+            ]
+            if missing:
+                results = self.fn([it for _, it in missing])
+                for (u, _), arr in zip(missing, results):
+                    self._ram_only[u] = np.asarray(arr)
+            return [self._ram_only[u] for u in uids]
+
+        # keep one compute per distinct uid, in first-appearance order
+        seen: dict[str, tp.Any] = {}
+        for u, it in zip(uids, items):
+            if u not in seen:
+                seen[u] = it
+        missing_uids = store.missing(list(seen))
+        if missing_uids:
+            if self.infra.mode == "readonly":
+                raise KeyError(
+                    f"{len(missing_uids)} items missing from readonly cache "
+                    f"{store.folder}"
+                )
+            to_compute = [seen[u] for u in missing_uids]
+            logger.info(
+                "%s.%s: computing %d/%d items (cache %s)",
+                type(self.owner).__name__,
+                self.method_name,
+                len(to_compute),
+                len(seen),
+                store.folder,
+            )
+
+            def _results() -> tp.Iterator[tuple[str, np.ndarray]]:
+                for u, arr in zip(missing_uids, self.fn(to_compute)):
+                    yield u, np.asarray(arr)
+
+            store.append_many(_results())
+        return [store[u] for u in uids]

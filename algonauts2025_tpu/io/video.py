@@ -1,0 +1,155 @@
+"""Host-side video decode (OpenCV), replacing the reference's moviepy/ffmpeg
+path (reference data_utils/data_utils/events.py:278-302, features/video.py:35-53).
+
+Design difference from the reference: instead of random-seeking every frame
+(which re-decodes each frame ~32x for the sliding 64-frame V-JEPA2 windows),
+``VideoClip.sliding_windows`` decodes the stream exactly once and serves
+overlapping windows from a ring buffer — this is where most of the video
+feature-extraction speedup comes from.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["Info", "info", "VideoClip"]
+
+
+@dataclasses.dataclass
+class Info:
+    fps: float
+    duration: float
+    n_frames: int
+    width: int
+    height: int
+
+
+def _open(path: str):
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise ValueError(f"Cannot open video: {path}")
+    return cap
+
+
+def info(path: str) -> Info:
+    import cv2
+
+    cap = _open(path)
+    try:
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        return Info(fps=fps, duration=n / fps if fps else 0.0, n_frames=n, width=w, height=h)
+    finally:
+        cap.release()
+
+
+class VideoClip:
+    """A [offset, offset+duration) span of a video file.
+
+    Frames are RGB uint8 arrays (H, W, 3).  Times are relative to the clip
+    start (i.e. ``get_frame(0.0)`` is the frame at ``offset`` seconds in
+    the underlying file), matching the reference's subclipped moviepy clip.
+    """
+
+    def __init__(self, path: str, offset: float = 0.0, duration: float | None = None):
+        self.path = str(path)
+        self.filename = self.path
+        meta = info(self.path)
+        self.fps = meta.fps
+        self.size = (meta.width, meta.height)
+        file_duration = meta.duration
+        if duration is None:
+            duration = file_duration - offset
+        self.offset = offset
+        self.duration = duration
+        self._cap = None
+        self._next_frame_idx = 0  # absolute frame index the capture will read next
+
+    def _ensure_cap(self):
+        if self._cap is None:
+            self._cap = _open(self.path)
+            self._next_frame_idx = 0
+        return self._cap
+
+    def close(self) -> None:
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+    def __enter__(self) -> "VideoClip":
+        return self
+
+    def __exit__(self, *exc: tp.Any) -> None:
+        self.close()
+
+    def _read_abs_frame(self, idx: int) -> np.ndarray:
+        import cv2
+
+        cap = self._ensure_cap()
+        if idx != self._next_frame_idx:
+            # sequential grabs are much cheaper than seeks for small skips
+            if 0 <= idx - self._next_frame_idx <= 32:
+                for _ in range(idx - self._next_frame_idx):
+                    cap.grab()
+            else:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+            self._next_frame_idx = idx
+        ok, frame = cap.read()
+        if not ok:
+            # past EOF: return last decodable frame (black as last resort)
+            h, w = self.size[1], self.size[0]
+            return np.zeros((h, w, 3), dtype=np.uint8)
+        self._next_frame_idx = idx + 1
+        return frame[:, :, ::-1]  # BGR -> RGB
+
+    def get_frame(self, t: float) -> np.ndarray:
+        """Frame at clip-relative time t (seconds)."""
+        idx = int(round((self.offset + max(0.0, t)) * self.fps))
+        return self._read_abs_frame(idx)
+
+    def iter_frames(self) -> tp.Iterator[np.ndarray]:
+        n = int(round(self.duration * self.fps))
+        start = int(round(self.offset * self.fps))
+        for i in range(n):
+            yield self._read_abs_frame(start + i)
+
+    def sliding_windows(
+        self,
+        times: tp.Sequence[float],
+        n_frames: int,
+        span: float,
+    ) -> tp.Iterator[np.ndarray]:
+        """Yield (n_frames, H, W, 3) windows ending at each time.
+
+        Window k covers [times[k]-span, times[k]] sampled at
+        ``n_frames / span`` fps with clamping at the clip start — the same
+        sampling as the reference's per-frame random access
+        (features/video.py:203-223: subtimes = k/n * span, reversed), but
+        decoded in a single forward pass over the stream with an LRU of
+        decoded frames keyed by absolute frame index.
+        """
+        subtimes = [k / n_frames * span for k in reversed(range(n_frames))]
+        cache: dict[int, np.ndarray] = {}
+        order: list[int] = []
+        max_cache = max(4 * n_frames, 256)
+        for t in times:
+            window = []
+            for t2 in subtimes:
+                tt = max(0.0, t - t2)
+                idx = int(round((self.offset + tt) * self.fps))
+                if idx not in cache:
+                    cache[idx] = self._read_abs_frame(idx)
+                    order.append(idx)
+                    if len(order) > max_cache:
+                        old = order.pop(0)
+                        cache.pop(old, None)
+                window.append(cache[idx])
+            yield np.stack(window)

@@ -1,0 +1,189 @@
+"""ConfDict, uid hashing, ArrayStore, CachedMap, TaskInfra tests."""
+
+import numpy as np
+import pydantic
+import pytest
+
+from algonauts2025_tpu.cache import ArrayStore, CachedMap, MapInfra, TaskInfra
+from algonauts2025_tpu.config import ConfDict, config_uid
+
+
+def test_confdict_dotted():
+    cfg = ConfDict({"a": {"b": 1}, "c": 2})
+    cfg["a.b"] = 3
+    cfg.update({"a.d.e": 4, "c": 5})
+    assert cfg["a"]["b"] == 3
+    assert cfg["a.d.e"] == 4
+    assert cfg["c"] == 5
+    assert "a.d" in cfg
+    d = cfg.to_dict()
+    assert d == {"a": {"b": 3, "d": {"e": 4}}, "c": 5}
+
+
+def test_confdict_uid_stable():
+    u1 = ConfDict({"x": 1, "y": [0.5, 1.0]}).to_uid()
+    u2 = ConfDict({"y": [0.5, 1.0], "x": 1}).to_uid()
+    assert u1 == u2
+    assert "x=1" in u1
+    u3 = ConfDict({"x": 2}).to_uid()
+    assert u3 != u1
+
+
+class _Feat(pydantic.BaseModel):
+    dim: int = 4
+    device: str = "auto"
+    layers: list[float] = [0.5, 1.0]
+
+    def _exclude_from_cache_uid(self):
+        return ["device", "layers"]
+
+
+def test_config_uid_exclusions():
+    a = config_uid(_Feat())
+    assert a == config_uid(_Feat(device="cpu", layers=[0.1]))
+    assert a != config_uid(_Feat(dim=8))
+
+
+def test_array_store(tmp_path):
+    store = ArrayStore(tmp_path / "s")
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    y = np.ones((2, 2), dtype=np.int32)
+    store.append_many([("x", x), ("y", y)])
+    assert "x" in store and "y" in store
+    np.testing.assert_array_equal(store["x"], x)
+    np.testing.assert_array_equal(store["y"], y)
+    # reopen from disk
+    store2 = ArrayStore(tmp_path / "s")
+    np.testing.assert_array_equal(store2["x"], x)
+    assert store2.missing(["x", "z"]) == ["z"]
+    # duplicate appends are ignored
+    store2.append_many([("x", np.zeros((3, 4), np.float32))])
+    np.testing.assert_array_equal(store2["x"], x)
+
+
+def test_cached_map(tmp_path):
+    calls = []
+
+    def fn(items):
+        calls.append(list(items))
+        return [np.full((2,), float(i)) for i in items]
+
+    feat = _Feat()
+    cm = CachedMap(
+        infra=MapInfra(folder=tmp_path),
+        owner=feat,
+        method_name="_get_data",
+        fn=fn,
+        item_uid=str,
+    )
+    out = cm([1, 2, 3])
+    assert len(calls) == 1
+    np.testing.assert_array_equal(out[1], [2.0, 2.0])
+    out2 = cm([2, 4])
+    assert calls[1] == [4]  # only uncached items recomputed
+    np.testing.assert_array_equal(out2[0], [2.0, 2.0])
+
+    # a second run (fresh object) reads from disk without recomputing
+    cm2 = CachedMap(
+        infra=MapInfra(folder=tmp_path),
+        owner=_Feat(device="cuda"),  # excluded field -> same cache
+        method_name="_get_data",
+        fn=fn,
+        item_uid=str,
+    )
+    out3 = cm2([1, 4])
+    assert len(calls) == 2
+    np.testing.assert_array_equal(out3[1], [4.0, 4.0])
+
+
+def test_cached_map_ram_only():
+    calls = []
+
+    def fn(items):
+        calls.append(list(items))
+        return [np.zeros(1) for _ in items]
+
+    cm = CachedMap(
+        infra=MapInfra(folder=None),
+        owner=_Feat(),
+        method_name="m",
+        fn=fn,
+        item_uid=str,
+    )
+    cm([1, 2])
+    cm([1, 2])
+    assert len(calls) == 1
+
+
+class _Task(pydantic.BaseModel):
+    x: int = 1
+    infra: TaskInfra = TaskInfra()
+    _count: int = 0
+
+    def model_post_init(self, _ctx):
+        self.infra.bind(self)
+
+    def run(self):
+        return self.infra.run_cached(self._run)
+
+    def _run(self):
+        self._count += 1
+        return self.x * 10
+
+
+def test_task_cache(tmp_path):
+    t = _Task(x=3, infra=TaskInfra(folder=tmp_path))
+    assert t.run() == 30
+    assert t.infra.status() == "completed"
+    assert t.run() == 30
+    assert t._count == 1  # second call was cached
+
+    # same config, new object: still cached
+    t2 = _Task(x=3, infra=TaskInfra(folder=tmp_path))
+    assert t2.run() == 30
+    assert t2._count == 0
+
+    # different config: recomputed
+    t3 = _Task(x=4, infra=TaskInfra(folder=tmp_path))
+    assert t3.run() == 40
+    assert t3._count == 1
+
+    # force mode reruns
+    t4 = _Task(x=3, infra=TaskInfra(folder=tmp_path, mode="force"))
+    assert t4.run() == 30
+    assert t4._count == 1
+
+
+def test_task_failure_and_retry(tmp_path):
+    class Failing(_Task):
+        def _run(self):
+            self._count += 1
+            if self._count == 1:
+                raise RuntimeError("boom")
+            return 7
+
+    t = Failing(infra=TaskInfra(folder=tmp_path))
+    with pytest.raises(RuntimeError):
+        t.run()
+    assert t.infra.status() == "failed"
+    with pytest.raises(RuntimeError):  # cached mode refuses failed tasks
+        _t = Failing(infra=TaskInfra(folder=tmp_path))
+        _t.run()
+    t2 = Failing(infra=TaskInfra(folder=tmp_path, mode="retry"))
+    t2._count = 1  # skip the failing first call
+    assert t2.run() == 7
+
+
+def test_job_array(tmp_path):
+    ran = []
+
+    class T(pydantic.BaseModel):
+        i: int
+
+        def run(self):
+            ran.append(self.i)
+
+    infra = TaskInfra(folder=tmp_path)
+    with infra.job_array() as tasks:
+        tasks.extend(T(i=i) for i in range(3))
+    assert sorted(ran) == [0, 1, 2]
