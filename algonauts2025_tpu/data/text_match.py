@@ -1,0 +1,161 @@
+"""Transcript-to-text alignment: sentence segmentation + fuzzy matching.
+
+Replaces the reference's spacy + Levenshtein pipeline (reference
+data_utils/data_utils/utils.py:25-59 match_list, enhancers.py:499-594
+_match_text_words) with a self-contained rule-based sentence segmenter and
+the same editops-based alignment.  All host-side, offline preprocessing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import typing as tp
+
+import numpy as np
+
+__all__ = ["match_list", "split_sentences", "tokenize", "match_text_words", "Token"]
+
+_ABBREV = {
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "e.g", "i.e",
+    "a.m", "p.m", "u.s", "inc", "ltd", "co", "gen", "col", "capt", "sgt",
+}
+
+
+def match_list(A, B, on_replace: str = "delete"):
+    """Align two sequences via Levenshtein editops; returns matched index
+    pairs (A_sel, B_sel).  Same contract as the reference's match_list."""
+    from Levenshtein import editops
+
+    if not isinstance(A, str):
+        unique = np.unique(np.concatenate([np.asarray(A), np.asarray(B)]))
+        label_encoder = {k: v for v, k in enumerate(unique)}
+
+        def to_unicode(array) -> str:
+            return "".join(chr(label_encoder[x]) for x in array)
+
+        A = to_unicode(A)
+        B = to_unicode(B)
+
+    changes = editops(A, B)
+    B_sel = np.arange(len(B)).astype(float)
+    A_sel = np.arange(len(A)).astype(float)
+    for type_, val_a, val_b in changes:
+        if type_ == "insert":
+            B_sel[val_b] = np.nan
+        elif type_ == "delete":
+            A_sel[val_a] = np.nan
+        elif on_replace == "delete":
+            A_sel[val_a] = np.nan
+            B_sel[val_b] = np.nan
+        elif on_replace == "keep":
+            pass
+        else:
+            raise NotImplementedError
+    B_sel = B_sel[~np.isnan(B_sel)]
+    A_sel = A_sel[~np.isnan(A_sel)]
+    assert len(B_sel) == len(A_sel)
+    return A_sel.astype(int), B_sel.astype(int)
+
+
+@dataclasses.dataclass
+class Sentence:
+    start: int  # char offset in full text
+    end: int  # char offset (exclusive, including trailing whitespace)
+    text: str  # text with trailing whitespace
+
+
+@dataclasses.dataclass
+class Token:
+    text: str
+    idx: int  # char offset in full text
+    sent: Sentence
+
+
+_SENT_END = re.compile(r"([.!?]+[\"')\]]*)(\s+|$)")
+
+
+def split_sentences(text: str) -> list[Sentence]:
+    """Rule-based sentence segmentation over raw text.
+
+    Splits after .!? (plus closing quotes) followed by whitespace, unless
+    the preceding token is a known abbreviation or a single initial.
+    Trailing whitespace belongs to the sentence (spacy text_with_ws parity).
+    """
+    if not text:
+        return []
+    boundaries = [0]
+    for m in _SENT_END.finditer(text):
+        end = m.end()
+        # word immediately before the punctuation
+        before = text[: m.start()].rstrip()
+        last_word = before.split()[-1].lower().strip("\"'()[]") if before.split() else ""
+        last_word = last_word.rstrip(".")
+        if last_word in _ABBREV or (len(last_word) == 1 and last_word.isalpha()):
+            continue
+        if end < len(text):
+            boundaries.append(end)
+    boundaries.append(len(text))
+    sents = []
+    for a, b in zip(boundaries[:-1], boundaries[1:]):
+        if text[a:b].strip():
+            sents.append(Sentence(start=a, end=b, text=text[a:b]))
+    if not sents:
+        sents = [Sentence(start=0, end=len(text), text=text)]
+    return sents
+
+
+_TOKEN = re.compile(r"\S+")
+
+
+def tokenize(text: str) -> list[Token]:
+    """Whitespace tokens with char offsets, each linked to its sentence."""
+    sents = split_sentences(text)
+    tokens: list[Token] = []
+    si = 0
+    for m in _TOKEN.finditer(text):
+        while si < len(sents) - 1 and m.start() >= sents[si].end:
+            si += 1
+        tokens.append(Token(text=m.group(), idx=m.start(), sent=sents[si]))
+    return tokens
+
+
+def word_preproc(word: str) -> str:
+    return word.lower().strip('",. ()?!\n\t')
+
+
+def match_text_words(
+    text: str, words: tp.Sequence[str], language: str = ""
+) -> tp.List[tp.Dict[str, tp.Any]]:
+    """For each transcript word, find its sentence and char offset in text.
+
+    Returns one dict per word with keys "sentence" (sentence text with
+    trailing whitespace) and "sentence_char" (char offset of the word
+    within its sentence); unmatched words inherit the enclosing sentence
+    when their neighbors agree (reference enhancers.py:582-594).
+    """
+    tokens = tokenize(text)
+    token_strs = [word_preproc(t.text) for t in tokens]
+    word_strs = [word_preproc(w) for w in words]
+    text_match, words_match = match_list(token_strs, word_strs)
+
+    info: tp.List[tp.Dict[str, tp.Any]] = [{} for _ in words]
+    for tm, wm in zip(text_match, words_match):
+        tok = tokens[tm]
+        info[wm]["sentence"] = tok.sent.text
+        info[wm]["sentence_char"] = tok.idx - tok.sent.start
+
+    # fill unmatched words whose neighbors share a sentence
+    prev_sent: str | None = None
+    missing: list[dict] = []
+    for i in info:
+        sent = i.get("sentence")
+        if sent is None:
+            missing.append(i)
+            continue
+        if prev_sent == sent:
+            for m in missing:
+                m["sentence"] = sent
+        missing = []
+        prev_sent = sent
+    return info

@@ -1,0 +1,144 @@
+"""Data layer: text matching, enhancers, study loader, dataset batching."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from algonauts2025_tpu.data import text_match
+from algonauts2025_tpu.data.dataset import SegmentData, SegmentDataset
+from algonauts2025_tpu.data.enhancers import (
+    AddContextToWords,
+    AddSentenceToWords,
+    AddText,
+    BaseEnhancer,
+    RemoveMissing,
+)
+from algonauts2025_tpu.data.study import StudyLoader, TIMELINES
+from algonauts2025_tpu.data.synthetic import make_synthetic_study
+from algonauts2025_tpu.core import list_segments, validate_events
+
+
+def test_split_sentences():
+    text = "Hello there. How are you? Dr. Smith is here. Fine!"
+    sents = text_match.split_sentences(text)
+    texts = [s.text.strip() for s in sents]
+    assert texts == ["Hello there.", "How are you?", "Dr. Smith is here.", "Fine!"]
+    # offsets cover the text
+    assert sents[0].start == 0
+    assert sents[-1].end == len(text)
+
+
+def test_match_list_identity():
+    a, b = text_match.match_list(["x", "y", "z"], ["x", "z"])
+    assert list(a) == [0, 2]
+    assert list(b) == [0, 1]
+
+
+def test_match_text_words():
+    text = "Hello world. This is fine."
+    words = ["hello", "world", "this", "is", "fine"]
+    info = text_match.match_text_words(text, words)
+    assert info[0]["sentence"].strip() == "Hello world."
+    assert info[0]["sentence_char"] == 0
+    assert info[1]["sentence_char"] == 6
+    assert info[2]["sentence"].strip() == "This is fine."
+
+
+def test_enhancer_registry_discriminated_union():
+    enh = BaseEnhancer.model_validate({"name": "AddText"})
+    assert isinstance(enh, AddText)
+    with pytest.raises(Exception):
+        BaseEnhancer.model_validate({"name": "Nope"})
+
+
+def _word_df():
+    words = "hello world this is a test sentence".split()
+    rows = []
+    t = 0.0
+    for w in words:
+        rows.append(
+            dict(type="Word", text=w, start=t, duration=0.3, timeline="tl",
+                 language="english", split="train")
+        )
+        t += 0.5
+    return pd.DataFrame(rows)
+
+
+def test_enhancer_chain():
+    events = validate_events(_word_df())
+    events = AddText()(events)
+    assert "Text" in events.type.unique()
+    events = AddSentenceToWords(max_unmatched_ratio=0.1)(events)
+    words = events[events.type == "Word"]
+    assert (words.sentence.str.len() > 0).mean() > 0.8
+    events = AddContextToWords(sentence_only=False, max_context_len=100)(events)
+    words = events[events.type == "Word"]
+    ctx = words.context.tolist()
+    assert ctx[1].lower().startswith("hello")
+    assert len(ctx[-1]) >= len(ctx[1])
+    n_before = len(events)
+    events = RemoveMissing()(events)
+    assert len(events) <= n_before
+
+
+def test_synthetic_study_build(tmp_path):
+    study_path = make_synthetic_study(tmp_path, with_video=False)
+    loader = StudyLoader(
+        path=study_path,
+        query="subject_timeline_index<2",
+        enhancers=[
+            {"name": "AddText"},
+            {"name": "AddSentenceToWords", "max_unmatched_ratio": 0.2},
+            {"name": "AddContextToWords", "sentence_only": False,
+             "max_context_len": 64},
+            {"name": "RemoveMissing"},
+        ],
+        infra={"folder": str(tmp_path / "cache")},
+    )
+    events = loader.build()
+    assert set(events.type.unique()) >= {"Word", "Text", "Fmri"}
+    core = events[events.type.isin(["Word", "Text", "Fmri", "Sound", "Video"])]
+    assert core.split.isin(["train", "test"]).all()
+    # fmri events read through their method: URI
+    fmri_rows = events[events.type == "Fmri"]
+    assert len(fmri_rows) >= 1
+    from algonauts2025_tpu.core import Event
+
+    fmri_ev = Event.from_dict(fmri_rows.iloc[0].to_dict())
+    data = fmri_ev.read()
+    assert data.shape[0] == 64  # parcels first, time last
+    # cached rebuild gives the same events
+    events2 = StudyLoader(**loader.model_dump()).build()
+    assert len(events2) == len(events)
+
+
+def test_segment_dataset_batching(tmp_path):
+    study_path = make_synthetic_study(tmp_path, with_video=False)
+    loader = StudyLoader(path=study_path, query="subject_timeline_index<2")
+    events = loader.build()
+    train = events[events.split == "train"]
+    segments = list_segments(train)
+    assert segments
+
+    class CountFeature:
+        frequency = 2.0
+
+        def __call__(self, events, start, duration, trigger=None):
+            n = max(1, int(round(duration * 2.0)))
+            return np.full((3, n), float(len(events)), dtype=np.float32)
+
+    ds = SegmentDataset({"x": CountFeature()}, segments, pad_duration=149.0)
+    item = ds[0]
+    assert item["x"].shape == (3, 298)
+    batches = list(ds.batches(batch_size=2, shuffle=True, seed=0))
+    assert all(b.data["x"].shape[1:] == (3, 298) for b in batches)
+    total = sum(b.batch_size for b in batches)
+    assert total == len(ds)
+    one = ds.as_one_batch()
+    assert one.batch_size == len(ds)
+
+    # threaded assembly gives the same content
+    b_threaded = list(ds.batches(batch_size=2, num_workers=2))
+    b_serial = list(ds.batches(batch_size=2))
+    for bt, bs in zip(b_threaded, b_serial):
+        np.testing.assert_array_equal(bt.data["x"], bs.data["x"])
