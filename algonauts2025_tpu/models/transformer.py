@@ -1,0 +1,184 @@
+"""Trainable transformer trunk (flax.linen) with rotary + ScaleNorm.
+
+Architectural equivalent of the reference's x_transformers Encoder config
+(reference modeling_utils/models/transformer.py:16-61: 8 heads, rotary
+positions, ScaleNorm, ff_mult 4, scaled residuals, flash off).  Attention
+runs through ops.attention.fused_attention — the Pallas full-VMEM kernel
+on TPU.  All matmuls carry ``preferred_element_type`` fp32 accumulation so
+the trunk can run bf16 activations without drift.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import pydantic
+
+from ..ops.attention import apply_rotary, fused_attention, rotary_angles
+
+
+class ScaleNorm(nn.Module):
+    """y = g * x / (||x|| / sqrt(d)) — a single learned scalar gain."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        g = self.param("g", lambda _k: jnp.ones(()))
+        scale = x.shape[-1] ** -0.5
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True) * scale
+        return x / jnp.maximum(norm, self.eps) * g
+
+
+class SelfAttention(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int
+    rotary_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True, mask: jax.Array | None = None
+    ) -> jax.Array:
+        b, t, _ = x.shape
+        h, dh = self.heads, self.dim_head
+        qkv = nn.Dense(3 * h * dh, use_bias=False, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(z):
+            return z.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = map(heads_first, (q, k, v))
+        if self.rotary_dim:
+            ang = jnp.asarray(rotary_angles(t, self.rotary_dim))
+            q = apply_rotary(q, ang)
+            k = apply_rotary(k, ang)
+        out = fused_attention(q, k, v, mask=mask)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+        out = nn.Dense(self.dim, use_bias=False, name="out")(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.dim * self.mult)(x)
+        x = nn.gelu(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.dim)(x)
+
+
+class TransformerEncoder(nn.Module):
+    """Pre-norm encoder: x += branch(norm(x)) with scaled residual streams."""
+
+    dim: int
+    depth: int = 8
+    heads: int = 8
+    dim_head: int | None = None
+    ff_mult: int = 4
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    use_scalenorm: bool = True
+    rotary_pos_emb: bool = True
+    scale_residual: bool = True
+    causal: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dh = self.dim_head or self.dim // self.heads
+        rotary_dim = max(dh // 2, 32) if self.rotary_pos_emb else 0
+        rotary_dim = min(rotary_dim, dh)
+        norm_cls = ScaleNorm if self.use_scalenorm else nn.LayerNorm
+        mask = None
+        if self.causal:
+            t = x.shape[1]
+            mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+
+        attn_cls = SelfAttention
+        ff_cls = FeedForward
+        if self.remat:
+            attn_cls = nn.remat(SelfAttention, static_argnums=(2,))
+            ff_cls = nn.remat(FeedForward, static_argnums=(2,))
+
+        for i in range(self.depth):
+            res_scale_a = (
+                self.param(f"res_scale_attn_{i}", lambda _k: jnp.ones(()))
+                if self.scale_residual
+                else 1.0
+            )
+            branch = attn_cls(
+                dim=self.dim,
+                heads=self.heads,
+                dim_head=dh,
+                rotary_dim=rotary_dim,
+                dropout=self.attn_dropout,
+                name=f"attn_{i}",
+            )(norm_cls(name=f"attn_norm_{i}")(x), deterministic, mask)
+            x = x * res_scale_a + branch
+
+            res_scale_f = (
+                self.param(f"res_scale_ff_{i}", lambda _k: jnp.ones(()))
+                if self.scale_residual
+                else 1.0
+            )
+            branch = ff_cls(
+                dim=self.dim,
+                mult=self.ff_mult,
+                dropout=self.ff_dropout,
+                name=f"ff_{i}",
+            )(norm_cls(name=f"ff_norm_{i}")(x), deterministic)
+            x = x * res_scale_f + branch
+        return norm_cls(name="final_norm")(x)
+
+
+class TransformerEncoderConfig(pydantic.BaseModel):
+    """Config surface mirroring the reference TransformerEncoderConfig."""
+
+    model_config = pydantic.ConfigDict(extra="forbid")
+    name: tp.Literal["TransformerEncoder"] = "TransformerEncoder"
+    heads: int = 8
+    depth: int = 12
+    cross_attend: bool = False
+    causal: bool = False
+    attn_flash: bool = False  # parity field; our kernel is always fused
+    attn_dropout: float = 0.1
+    ff_mult: int = 4
+    ff_dropout: float = 0.0
+    use_scalenorm: bool = True
+    use_rmsnorm: bool = False
+    rel_pos_bias: bool = False
+    alibi_pos_bias: bool = False
+    rotary_pos_emb: bool = True
+    rotary_xpos: bool = False
+    residual_attn: bool = False
+    scale_residual: bool = True
+    layer_dropout: float = 0.0
+
+    def build(self, dim: int) -> TransformerEncoder:
+        if dim % self.heads != 0:
+            raise ValueError(f"dim ({dim}) must be divisible by heads ({self.heads})")
+        return TransformerEncoder(
+            dim=dim,
+            depth=self.depth,
+            heads=self.heads,
+            dim_head=dim // self.heads,
+            ff_mult=self.ff_mult,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            use_scalenorm=self.use_scalenorm,
+            rotary_pos_emb=self.rotary_pos_emb,
+            scale_residual=self.scale_residual,
+            causal=self.causal,
+        )

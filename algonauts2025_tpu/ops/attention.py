@@ -1,0 +1,146 @@
+"""Fused attention for the trunk: Pallas TPU kernel + XLA fallback.
+
+Trunk sequences are short (~298 steps of pooled 2 Hz features, padded to a
+static length), so the whole (T, T) score block fits in VMEM.  The Pallas
+kernel fuses QK^T -> softmax -> PV per (batch, head) with no HBM round
+trip for the scores — the speed-of-light plan for short sequences, vs. a
+blockwise flash scheme which only pays off at much longer T.  Rotary
+embedding (x_transformers-style partial rotary, reference
+modeling_utils/models/transformer.py:36 rotary_pos_emb=True) is provided
+as a separate fused-friendly op that XLA folds into the surrounding
+matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["apply_rotary", "rotary_angles", "dot_product_attention", "fused_attention"]
+
+
+def rotary_angles(seq_len: int, rot_dim: int, base: float = 10000.0) -> np.ndarray:
+    """(seq_len, rot_dim/2) rotation angles (host-side constant)."""
+    inv_freq = 1.0 / (base ** (np.arange(0, rot_dim, 2) / rot_dim))
+    t = np.arange(seq_len)
+    return np.einsum("t,f->tf", t, inv_freq).astype(np.float32)
+
+
+def apply_rotary(x: jax.Array, angles: jax.Array) -> jax.Array:
+    """Rotate the leading ``2*angles.shape[-1]`` dims of the head axis.
+
+    x: (..., T, Dh); pairs are (x[2i], x[2i+1]) GPT-NeoX style interleave
+    on the first rot_dim dims, the remainder passes through.
+    """
+    rot_dim = 2 * angles.shape[-1]
+    x_rot, x_pass = x[..., :rot_dim], x[..., rot_dim:]
+    x1 = x_rot[..., 0::2]
+    x2 = x_rot[..., 1::2]
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    y1 = x1 * cos - x2 * sin
+    y2 = x1 * sin + x2 * cos
+    y = jnp.stack([y1, y2], axis=-1).reshape(x_rot.shape)
+    return jnp.concatenate([y, x_pass], axis=-1)
+
+
+def dot_product_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array | None = None
+) -> jax.Array:
+    """(B, H, T, Dh) attention, fp32 softmax accumulation."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
+    """Full-sequence fused attention for one (batch*head) slice in VMEM."""
+    q = q_ref[0]  # (Tp, Dh)
+    k = k_ref[0]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+    tp = scores.shape[-1]
+    if valid_len < tp:  # mask padded kv columns
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < valid_len, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        probs,
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_attention_tpu(q, k, v, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, t, dh = q.shape
+    tp = _round_up(t, 128)
+    dp = _round_up(dh, 128)
+    pad = [(0, 0), (0, 0), (0, tp - t), (0, dp - dh)]
+    qp = jnp.pad(q, pad).reshape(b * h, tp, dp)
+    kp = jnp.pad(k, pad).reshape(b * h, tp, dp)
+    vp = jnp.pad(v, pad).reshape(b * h, tp, dp)
+
+    spec = pl.BlockSpec((1, tp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=dh**-0.5, valid_len=t),
+        out_shape=jax.ShapeDtypeStruct((b * h, tp, dp), q.dtype),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * tp * tp * dp,
+            bytes_accessed=4 * b * h * tp * dp * 4,
+            transcendentals=b * h * tp * tp,
+        ),
+    )(qp, kp, vp)
+    return out.reshape(b, h, tp, dp)[:, :, :t, :dh]
+
+
+def fused_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,
+    force_pallas: bool | None = None,
+) -> jax.Array:
+    """Attention over (B, H, T, Dh); Pallas on TPU, XLA elsewhere.
+
+    The Pallas path keeps the whole sequence per (b, h) in VMEM; it
+    requires no mask (trunk windows are fixed-length).  Any masked call
+    routes to the XLA path.
+    """
+    use_pallas = force_pallas
+    if use_pallas is None:
+        t, dh = q.shape[-2], q.shape[-1]
+        vmem_bytes = (_round_up(t, 128) ** 2 + 4 * _round_up(t, 128) * _round_up(dh, 128)) * 4
+        use_pallas = (
+            mask is None
+            and jax.default_backend() == "tpu"
+            and vmem_bytes < 12 * 1024 * 1024
+        )
+    if use_pallas:
+        return _fused_attention_tpu(q, k, v)
+    return dot_product_attention(q, k, v, mask)

@@ -1,0 +1,99 @@
+"""Device mesh and sharding utilities (the "comm backend" of the build).
+
+The reference's distributed layer is Lightning DDP over NCCL (reference
+algonauts2025/main.py:388-394 + srun launch).  The TPU-native equivalent
+is: one JAX program per host, ``jax.distributed.initialize`` for
+multi-host, a named Mesh whose ``data`` axis spans the slice (ICI), and
+jit/SPMD inserting the gradient all-reduce — there is no explicit
+communication code anywhere else in the framework.
+
+A ``model`` axis is provisioned for sharding the per-subject readout
+(subjects x 3072 x 1000 is the largest weight) when scaling beyond pure DP.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import typing as tp
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "init_distributed",
+    "get_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+]
+
+
+def init_distributed() -> None:
+    """Initialize multi-host JAX when launched across hosts.
+
+    No-op in single-process runs.  Uses the standard env contract
+    (coordinator address + process count) that TPU pod launchers provide.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        logger.info(
+            "jax.distributed initialized: process %d/%d",
+            jax.process_index(),
+            jax.process_count(),
+        )
+
+
+def get_mesh(
+    n_devices: int | None = None,
+    model_parallel: int = 1,
+    devices: tp.Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """A ("data", "model") mesh over the available devices.
+
+    ``model_parallel=1`` (default) gives pure data parallelism; the model
+    axis exists so readout sharding can be enabled without re-plumbing.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch) across the data axis, replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(
+    batch_data: tp.Mapping[str, tp.Any], mesh: Mesh | None
+) -> dict[str, jax.Array]:
+    """Place a host batch onto the mesh, batch axis over "data".
+
+    Batches whose leading dim does not divide the data axis are placed
+    replicated (eval-tail batches) — correctness over peak efficiency.
+    """
+    if mesh is None:
+        return {k: jax.device_put(v) for k, v in batch_data.items()}
+    n_data = mesh.shape["data"]
+    out = {}
+    for k, v in batch_data.items():
+        if v.shape[0] % n_data == 0:
+            out[k] = jax.device_put(v, batch_sharding(mesh))
+        else:
+            out[k] = jax.device_put(v, replicated(mesh))
+    return out

@@ -1,0 +1,111 @@
+"""Loss functions + config registry.
+
+Rebuild of reference modeling_utils/losses/ (PearsonLoss at losses.py:11-42
+plus auto-wrapped torch losses).  Losses are pure jittable functions over
+(N, D) arrays; the config surface keeps the reference's names
+("MSELoss", "SmoothL1Loss", ...) so grid configs port unchanged.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import pydantic
+
+__all__ = ["LossConfig", "PearsonLossConfig", "TorchLossConfig", "build_loss"]
+
+LossFn = tp.Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean((pred - target) ** 2)
+
+
+def l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def huber_loss(pred: jax.Array, target: jax.Array, delta: float = 1.0) -> jax.Array:
+    err = pred - target
+    abs_err = jnp.abs(err)
+    quad = jnp.minimum(abs_err, delta)
+    return jnp.mean(0.5 * quad**2 + delta * (abs_err - quad))
+
+
+def smooth_l1_loss(pred: jax.Array, target: jax.Array, beta: float = 1.0) -> jax.Array:
+    err = jnp.abs(pred - target)
+    return jnp.mean(jnp.where(err < beta, 0.5 * err**2 / beta, err - 0.5 * beta))
+
+
+def pearson_loss(
+    pred: jax.Array, target: jax.Array, dim: int = 1, eps: float = 1e-8
+) -> jax.Array:
+    """1 - r per column of (N, D) (reference losses.py:17-42)."""
+    x = jnp.moveaxis(pred, dim, 0)
+    y = jnp.moveaxis(target, dim, 0)
+    x = x.reshape(x.shape[0], -1)
+    y = y.reshape(y.shape[0], -1)
+    x = x - x.mean(axis=1, keepdims=True)
+    y = y - y.mean(axis=1, keepdims=True)
+    cov = jnp.sum(x * y, axis=1)
+    xs = jnp.sqrt(jnp.sum(x**2, axis=1))
+    ys = jnp.sqrt(jnp.sum(y**2, axis=1))
+    pcc = cov / (xs * ys + eps)
+    return jnp.mean(1 - pcc)
+
+
+_TORCH_STYLE_LOSSES: dict[str, tp.Callable[..., LossFn]] = {
+    "MSELoss": lambda **kw: mse_loss,
+    "L1Loss": lambda **kw: l1_loss,
+    "HuberLoss": lambda delta=1.0, **kw: (
+        lambda p, t: huber_loss(p, t, delta=delta)
+    ),
+    "SmoothL1Loss": lambda beta=1.0, **kw: (
+        lambda p, t: smooth_l1_loss(p, t, beta=beta)
+    ),
+}
+
+
+class BaseLossConfig(pydantic.BaseModel):
+    model_config = pydantic.ConfigDict(extra="forbid")
+    name: str
+
+    def build(self) -> LossFn:
+        raise NotImplementedError
+
+
+class PearsonLossConfig(BaseLossConfig):
+    name: tp.Literal["PearsonLoss"] = "PearsonLoss"
+    reduction: str = "mean"
+    dim: int = 1
+
+    def build(self) -> LossFn:
+        def fn(pred: jax.Array, target: jax.Array) -> jax.Array:
+            return pearson_loss(pred, target, dim=self.dim)
+
+        return fn
+
+
+class TorchLossConfig(BaseLossConfig):
+    """Reference-style name + kwargs for standard regression losses."""
+
+    name: tp.Literal[tuple(_TORCH_STYLE_LOSSES.keys())]  # type: ignore[valid-type]
+    kwargs: dict[str, tp.Any] = {}
+
+    def build(self) -> LossFn:
+        return _TORCH_STYLE_LOSSES[self.name](**self.kwargs)
+
+
+LossConfig = tp.Annotated[
+    tp.Union[PearsonLossConfig, TorchLossConfig],
+    pydantic.Field(discriminator="name"),
+]
+
+
+def build_loss(config: tp.Any) -> LossFn:
+    if isinstance(config, BaseLossConfig):
+        return config.build()
+    adapter = pydantic.TypeAdapter(LossConfig)
+    return adapter.validate_python(config).build()

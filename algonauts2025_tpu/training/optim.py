@@ -1,0 +1,143 @@
+"""Optimizers and LR schedules (optax), with the reference config surface.
+
+Rebuild of reference modeling_utils/optimizers/base.py: the
+optimizer/scheduler names and kwargs of the torch configs are preserved
+("Adam" + OneCycleLR etc., defaults.py:126-141) but build optax
+transformations.  SWA's annealing phase (Lightning SWALR, reference
+main.py:365-373) is composed into the schedule here: from the SWA start
+step the LR cosine-anneals to ``swa_lr`` and stays there.
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import optax
+import pydantic
+
+__all__ = ["OptimizerConfig", "SchedulerConfig", "OptimConfig"]
+
+
+class OptimizerConfig(pydantic.BaseModel):
+    model_config = pydantic.ConfigDict(extra="forbid")
+    name: str = "Adam"
+    lr: float
+    kwargs: dict[str, tp.Any] = {}
+
+    def build(self, schedule: optax.Schedule | float) -> optax.GradientTransformation:
+        kw = dict(self.kwargs)
+        weight_decay = kw.pop("weight_decay", 0.0)
+        b1, b2 = kw.pop("betas", (0.9, 0.999))
+        eps = kw.pop("eps", 1e-8)
+        momentum = kw.pop("momentum", 0.0)
+        if kw:
+            raise ValueError(f"Unsupported optimizer kwargs: {list(kw)}")
+        name = self.name
+        if name in ("Adam", "AdamW"):
+            if weight_decay and name == "Adam":
+                # torch Adam applies L2 to the gradient (not decoupled)
+                return optax.chain(
+                    optax.add_decayed_weights(weight_decay),
+                    optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+                    optax.scale_by_learning_rate(schedule),
+                )
+            if name == "AdamW":
+                return optax.adamw(
+                    schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay
+                )
+            return optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+        if name == "SGD":
+            return optax.sgd(schedule, momentum=momentum or None)
+        if name == "Adagrad":
+            return optax.adagrad(schedule)
+        if name == "RMSprop":
+            return optax.rmsprop(schedule)
+        if name == "Lion":
+            return optax.lion(schedule, weight_decay=weight_decay)
+        raise ValueError(f"Unknown optimizer: {name}")
+
+
+class SchedulerConfig(pydantic.BaseModel):
+    model_config = pydantic.ConfigDict(extra="forbid")
+    name: str = "OneCycleLR"
+    kwargs: dict[str, tp.Any] = {}
+
+    def build(self, base_lr: float, total_steps: int) -> optax.Schedule:
+        kw = dict(self.kwargs)
+        if self.name == "OneCycleLR":
+            max_lr = kw.get("max_lr", base_lr)
+            pct_start = kw.get("pct_start", 0.3)
+            div_factor = kw.get("div_factor", 25.0)
+            final_div_factor = kw.get("final_div_factor", 1e4)
+            return optax.cosine_onecycle_schedule(
+                transition_steps=max(1, total_steps),
+                peak_value=max_lr,
+                pct_start=pct_start,
+                div_factor=div_factor,
+                final_div_factor=final_div_factor,
+            )
+        if self.name == "CosineAnnealingLR":
+            t_max = kw.get("T_max", total_steps)
+            eta_min = kw.get("eta_min", 0.0)
+            return optax.cosine_decay_schedule(
+                base_lr, decay_steps=max(1, t_max), alpha=eta_min / base_lr if base_lr else 0.0
+            )
+        if self.name == "StepLR":
+            step_size = kw["step_size"]
+            gamma = kw.get("gamma", 0.1)
+            return lambda step: base_lr * gamma ** (step // step_size)
+        if self.name == "LinearLR":
+            start_factor = kw.get("start_factor", 1 / 3)
+            end_factor = kw.get("end_factor", 1.0)
+            total = kw.get("total_iters", 5)
+            return optax.linear_schedule(
+                base_lr * start_factor, base_lr * end_factor, total
+            )
+        raise ValueError(f"Unknown scheduler: {self.name}")
+
+
+def _with_swa_annealing(
+    schedule: optax.Schedule,
+    swa_start_step: int,
+    swa_lr: float,
+    annealing_steps: int,
+) -> optax.Schedule:
+    """After swa_start_step, cosine-anneal from the pre-SWA LR to swa_lr."""
+    import jax.numpy as jnp
+
+    def fn(step):
+        base = schedule(jnp.minimum(step, swa_start_step))
+        frac = jnp.clip((step - swa_start_step) / max(1, annealing_steps), 0.0, 1.0)
+        annealed = swa_lr + (base - swa_lr) * 0.5 * (1 + jnp.cos(math.pi * frac))
+        return jnp.where(step < swa_start_step, schedule(step), annealed)
+
+    return fn
+
+
+class OptimConfig(pydantic.BaseModel):
+    """The reference's LightningOptimizerConfig surface (optimizers/base.py:78-96)."""
+
+    model_config = pydantic.ConfigDict(extra="forbid")
+    name: tp.Literal["LightningOptimizer"] = "LightningOptimizer"
+    optimizer: OptimizerConfig
+    scheduler: SchedulerConfig | None = None
+    interval: tp.Literal["step", "epoch"] = "step"
+
+    def build(
+        self,
+        total_steps: int,
+        swa_start_step: int | None = None,
+        swa_lr: float = 1e-5,
+    ) -> tuple[optax.GradientTransformation, optax.Schedule]:
+        base_lr = self.optimizer.lr
+        if self.scheduler is not None:
+            schedule: optax.Schedule | float = self.scheduler.build(base_lr, total_steps)
+        else:
+            schedule = optax.constant_schedule(base_lr)
+        if swa_start_step is not None and swa_start_step < total_steps:
+            schedule = _with_swa_annealing(
+                schedule, swa_start_step, swa_lr, total_steps - swa_start_step
+            )
+        tx = self.optimizer.build(schedule)
+        return tx, schedule

@@ -1,0 +1,408 @@
+"""The training engine: jit'd steps, SWA, early stopping, checkpoints.
+
+Replaces PyTorch Lightning (reference algonauts2025/pl_module.py +
+Trainer wiring in main.py:357-414) with a functional JAX loop:
+
+- one compiled train step (grad + optax update + EMA-free SWA slot),
+  donated state, dropout/modality rngs threaded explicitly;
+- SWA as a running mean of params updated at epoch boundaries from 60% of
+  training, LR annealed to swa_lr inside the optax schedule
+  (reference main.py:365-373);
+- streaming metrics (training.metrics) updated on device per eval batch;
+- orbax checkpoints (best on monitor / last, reference main.py:374-385)
+  including optimizer and SWA state for exact resume;
+- optional Mesh: params replicated, batch sharded over the "data" axis,
+  XLA inserting the gradient all-reduce (no DDP process groups).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+import typing as tp
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..data.dataset import SegmentData
+from ..parallel.mesh import replicated, shard_batch
+from .metrics import Metric
+from .optim import OptimConfig
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["TrainState", "BrainTrainer", "TrainerConfig"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: tp.Any
+    opt_state: tp.Any
+    swa_params: tp.Any  # running mean of params (SWA slot)
+    swa_count: jax.Array  # number of models averaged so far
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    n_epochs: int = 10
+    monitor: str = "val/pearson"
+    monitor_mode: str = "max"
+    patience: int | None = None
+    swa_start: float = 0.6  # fraction of epochs before SWA begins
+    swa_lr: float = 1e-5
+    swa_enabled: bool = True
+    contrastive_weight: float = 0.0
+    limit_train_batches: int | None = None
+    log_every_n_steps: int | None = None
+    save_checkpoints: bool = True
+    folder: str | Path | None = None
+    seed: int = 33
+    fast_dev_run: bool = False
+
+
+class BrainTrainer:
+    """Functional trainer for FmriEncoder-style models.
+
+    ``model.apply`` contract: apply(variables, batch_dict, training=...)
+    returns (B, O, T') predictions; ``method="forward_with_contrastive"``
+    additionally returns a dict of contrastive losses.
+    """
+
+    def __init__(
+        self,
+        model: tp.Any,
+        loss_fn: tp.Callable[[jax.Array, jax.Array], jax.Array],
+        optim_config: OptimConfig,
+        metrics: tp.Mapping[str, Metric],
+        config: TrainerConfig,
+        mesh: tp.Any | None = None,
+        callbacks: tp.Sequence[tp.Any] = (),
+    ) -> None:
+        self.model = model
+        self.loss_fn = loss_fn
+        self.optim_config = optim_config
+        self.metrics = dict(metrics)
+        self.config = config
+        self.mesh = mesh
+        self.callbacks = list(callbacks)
+        self.tx: optax.GradientTransformation | None = None
+        self.schedule: optax.Schedule | None = None
+        self.state: TrainState | None = None
+        self.history: list[dict[str, float]] = []
+        self.callback_metrics: dict[str, float] = {}
+        self._train_step = None
+        self._eval_step = None
+        self._has_contrastive = hasattr(model, "forward_with_contrastive")
+        self._logger: tp.Any = None
+
+    # -- initialization ---------------------------------------------------
+    def init_state(self, example_batch: SegmentData, total_steps: int) -> TrainState:
+        cfg = self.config
+        swa_start_step = (
+            int(total_steps * cfg.swa_start) if cfg.swa_enabled else None
+        )
+        self.tx, self.schedule = self.optim_config.build(
+            total_steps, swa_start_step=swa_start_step, swa_lr=cfg.swa_lr
+        )
+        rng = jax.random.PRNGKey(cfg.seed)
+        batch = {k: jnp.asarray(v) for k, v in example_batch.data.items()}
+        init_kwargs: dict[str, tp.Any] = {}
+        if self._has_contrastive:
+            # touch the contrastive heads so their params exist
+            init_kwargs["method"] = "forward_with_contrastive"
+        variables = self.model.init(
+            {"params": rng, "dropout": rng, "modality": rng},
+            batch,
+            training=False,
+            **init_kwargs,
+        )
+        params = variables["params"]
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        logger.info("Total parameters: %d", n_params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+            # zeros (not an alias of params): the first SWA merge at count 0
+            # yields params exactly, and donation needs distinct buffers
+            swa_params=jax.tree.map(jnp.zeros_like, params),
+            swa_count=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
+        self.state = state
+        return state
+
+    # -- compiled steps ---------------------------------------------------
+    def _build_steps(self) -> None:
+        cfg = self.config
+        model = self.model
+        loss_fn = self.loss_fn
+        tx = self.tx
+        has_contrastive = self._has_contrastive
+
+        def compute_loss(params, batch, rngs):
+            y_true = batch["fmri"]  # (B, O, T)
+            if has_contrastive:
+                y_pred, closses = model.apply(
+                    {"params": params},
+                    batch,
+                    training=True,
+                    rngs=rngs,
+                    method="forward_with_contrastive",
+                )
+            else:
+                y_pred = model.apply(
+                    {"params": params}, batch, training=True, rngs=rngs
+                )
+                closses = {}
+            # flatten (b, d, t) -> ((b t), d) like the reference step
+            yp = jnp.swapaxes(y_pred, 1, 2).reshape(-1, y_pred.shape[1])
+            yt = jnp.swapaxes(y_true, 1, 2).reshape(-1, y_true.shape[1])
+            loss = loss_fn(yp, yt)
+            if closses:
+                total_c = sum(closses.values()) / max(1, len(closses))
+                loss = loss + cfg.contrastive_weight * total_c
+            return loss, {k: v for k, v in closses.items()}
+
+        def train_step(state: TrainState, batch, rng):
+            rngs = {
+                "dropout": jax.random.fold_in(rng, state.step),
+                "modality": jax.random.fold_in(jax.random.fold_in(rng, 1), state.step),
+            }
+            (loss, aux), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+                state.params, batch, rngs
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(step=state.step + 1, params=params, opt_state=opt_state),
+                loss,
+                aux,
+            )
+
+        def eval_step(params, batch):
+            y_pred = model.apply({"params": params}, batch, training=False)
+            return y_pred
+
+        donate = (0,)
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._eval_step = jax.jit(eval_step)
+
+    @staticmethod
+    def _swa_merge(state: TrainState) -> TrainState:
+        n = state.swa_count.astype(jnp.float32)
+        swa = jax.tree.map(
+            lambda avg, p: (avg * n + p) / (n + 1.0), state.swa_params, state.params
+        )
+        return state.replace(swa_params=swa, swa_count=state.swa_count + 1)
+
+    _swa_merge_jit = None
+
+    # -- training loop ----------------------------------------------------
+    def fit(
+        self,
+        train_loader_fn: tp.Callable[[int], tp.Iterable[SegmentData]],
+        val_loader_fn: tp.Callable[[], tp.Iterable[SegmentData]],
+        steps_per_epoch: int,
+        start_epoch: int = 0,
+    ) -> None:
+        cfg = self.config
+        assert self.state is not None, "call init_state first"
+        if self._train_step is None:
+            self._build_steps()
+        if BrainTrainer._swa_merge_jit is None:
+            BrainTrainer._swa_merge_jit = jax.jit(BrainTrainer._swa_merge)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        swa_start_epoch = int(cfg.n_epochs * cfg.swa_start)
+
+        best = -np.inf if cfg.monitor_mode == "max" else np.inf
+        bad_epochs = 0
+        n_epochs = 1 if cfg.fast_dev_run else cfg.n_epochs
+
+        for epoch in range(start_epoch, n_epochs):
+            for cb in self.callbacks:
+                if hasattr(cb, "on_train_epoch_start"):
+                    cb.on_train_epoch_start(self, epoch)
+            t0 = time.time()
+            losses = []
+            for i, batch in enumerate(train_loader_fn(epoch)):
+                if cfg.limit_train_batches is not None and i >= cfg.limit_train_batches:
+                    break
+                if cfg.fast_dev_run and i >= 1:
+                    break
+                data = shard_batch(batch.data, self.mesh)
+                self.state, loss, _aux = self._train_step(self.state, data, rng)
+                losses.append(loss)
+                if (
+                    cfg.log_every_n_steps
+                    and (i + 1) % cfg.log_every_n_steps == 0
+                ):
+                    logger.info(
+                        "epoch %d step %d: train/loss=%.5f",
+                        epoch,
+                        i,
+                        float(loss),
+                    )
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+            # SWA epoch-boundary merge
+            if cfg.swa_enabled and epoch >= swa_start_epoch:
+                self.state = BrainTrainer._swa_merge_jit(self.state)
+
+            # validation
+            val_metrics = self.evaluate(val_loader_fn(), split="val")
+            lr = float(self.schedule(self.state.step)) if self.schedule else 0.0
+            record = {
+                "epoch": epoch,
+                "train/loss": train_loss,
+                "lr": lr,
+                "epoch_seconds": time.time() - t0,
+                **val_metrics,
+            }
+            self.history.append(record)
+            self.callback_metrics.update(
+                {k: v for k, v in record.items() if isinstance(v, (int, float))}
+            )
+            if self._logger is not None:
+                self._logger.log(record, step=int(self.state.step))
+            logger.info(
+                "epoch %d: loss=%.5f %s lr=%.2e (%.1fs)",
+                epoch,
+                train_loss,
+                " ".join(
+                    f"{k}={v:.4f}" for k, v in val_metrics.items() if isinstance(v, float)
+                ),
+                lr,
+                record["epoch_seconds"],
+            )
+
+            monitored = val_metrics.get(cfg.monitor)
+            improved = monitored is not None and (
+                monitored > best if cfg.monitor_mode == "max" else monitored < best
+            )
+            if improved:
+                best = monitored
+                bad_epochs = 0
+                self.save_checkpoint("best")
+            else:
+                bad_epochs += 1
+            self.save_checkpoint("last", epoch=epoch)
+            if cfg.patience is not None and bad_epochs > cfg.patience:
+                logger.info("Early stopping at epoch %d", epoch)
+                break
+
+        # adopt SWA weights at the end of training (Lightning parity)
+        if cfg.swa_enabled and int(self.state.swa_count) > 0:
+            self.state = self.state.replace(params=self.state.swa_params)
+            self.save_checkpoint("last", epoch=n_epochs - 1)
+
+    # -- evaluation -------------------------------------------------------
+    def evaluate(
+        self, loader: tp.Iterable[SegmentData], split: str = "val"
+    ) -> dict[str, float]:
+        assert self.state is not None
+        if self._eval_step is None:
+            self._build_steps()
+        for name, metric in self.metrics.items():
+            if name.startswith(split):
+                metric.reset()
+        losses = []
+        n = 0
+        for batch in loader:
+            data = shard_batch(batch.data, self.mesh)
+            y_pred = self._eval_step(self.state.params, data)
+            y_true = data["fmri"]
+            yp = jnp.swapaxes(y_pred, 1, 2).reshape(-1, y_pred.shape[1])
+            yt = jnp.swapaxes(y_true, 1, 2).reshape(-1, y_true.shape[1])
+            losses.append(float(self.loss_fn(yp, yt)))
+            subject_ids = data.get("subject_id")
+            groups = None
+            if subject_ids is not None:
+                groups = jnp.repeat(subject_ids.reshape(-1), y_pred.shape[2])
+            for name, metric in self.metrics.items():
+                if not name.startswith(split):
+                    continue
+                if getattr(metric, "is_retrieval", False) or type(metric).__name__ in (
+                    "TopkAcc",
+                    "Rank",
+                ):
+                    metric.update(y_pred.mean(axis=-1), y_true.mean(axis=-1))
+                elif type(metric).__name__ == "GroupedPearson":
+                    metric.update(yp, yt, groups=groups)
+                else:
+                    metric.update(yp, yt)
+            n += 1
+        out: dict[str, float] = {}
+        if n:
+            out[f"{split}/loss"] = float(np.mean(losses))
+        for name, metric in self.metrics.items():
+            if not name.startswith(split):
+                continue
+            try:
+                value = metric.compute()
+            except AssertionError:
+                continue
+            if isinstance(value, dict):
+                for k, v in value.items():
+                    out[f"{name}/{k}"] = v
+            else:
+                out[name] = value
+        return out
+
+    def predict(
+        self, loader: tp.Iterable[SegmentData]
+    ) -> tp.Iterator[tuple[np.ndarray, SegmentData]]:
+        assert self.state is not None
+        if self._eval_step is None:
+            self._build_steps()
+        for batch in loader:
+            data = shard_batch(batch.data, self.mesh)
+            y_pred = self._eval_step(self.state.params, data)
+            yield np.asarray(y_pred), batch
+
+    # -- checkpointing ----------------------------------------------------
+    def _ckpt_dir(self, name: str) -> Path | None:
+        if self.config.folder is None or not self.config.save_checkpoints:
+            return None
+        return Path(self.config.folder) / f"{name}.ckpt"
+
+    def save_checkpoint(self, name: str, epoch: int | None = None) -> None:
+        path = self._ckpt_dir(name)
+        if path is None or self.state is None:
+            return
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            meta = {"epoch": epoch if epoch is not None else -1}
+            ckptr.save(
+                path.resolve(),
+                {"state": jax.device_get(self.state), "meta": meta},
+                force=True,
+            )
+
+    def load_checkpoint(self, path: str | Path, strict: bool = True) -> int:
+        """Restore state; returns the next epoch to run."""
+        import orbax.checkpoint as ocp
+
+        assert self.state is not None, "init_state before load_checkpoint"
+        template = {"state": jax.device_get(self.state), "meta": {"epoch": -1}}
+        with ocp.StandardCheckpointer() as ckptr:
+            try:
+                restored = ckptr.restore(Path(path).resolve(), template)
+            except Exception:
+                if strict:
+                    raise
+                logger.warning("Non-strict checkpoint load failed for %s", path)
+                return 0
+        state = restored["state"]
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
+        self.state = state
+        return int(restored["meta"]["epoch"]) + 1

@@ -6,12 +6,17 @@ TPU hardware (the driver separately dry-runs the multi-chip path).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests run on the virtual CPU mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# the axon TPU plugin overrides JAX_PLATFORMS at import; force CPU explicitly
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

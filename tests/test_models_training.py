@@ -1,0 +1,211 @@
+"""Model forward shapes, losses/metrics, and a tiny end-to-end training run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from algonauts2025_tpu.data.dataset import SegmentData
+from algonauts2025_tpu.models import (
+    FmriEncoderConfig,
+    FmriMlpConfig,
+    SubjectLayers,
+    TransformerEncoderConfig,
+)
+from algonauts2025_tpu.training import (
+    BrainTrainer,
+    OptimConfig,
+    TrainerConfig,
+    build_loss,
+    build_metric,
+)
+
+
+def _tiny_model(n_mod=2, hidden=64, depth=2, **kw):
+    cfg = FmriEncoderConfig(
+        n_subjects=3, hidden=hidden, depth=depth, heads=4, **kw
+    )
+    feature_dims = {"text": (2, 8), "audio": (2, 12)}
+    if n_mod == 3:
+        feature_dims["video"] = (2, 16)
+    model = cfg.build(feature_dims, n_outputs=32, n_output_timesteps=10)
+    return model, cfg, feature_dims
+
+
+def _batch(feature_dims, b=4, t=20, t_out=10, seed=0):
+    rng = np.random.default_rng(seed)
+    data = {
+        m: rng.standard_normal((b, l, d, t)).astype(np.float32)
+        for m, (l, d) in feature_dims.items()
+    }
+    data["subject_id"] = rng.integers(0, 3, size=(b, 1))
+    data["fmri"] = rng.standard_normal((b, 32, t_out)).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in data.items()}
+
+
+def test_subject_layers_selects_weights(rng):
+    model = SubjectLayers(in_channels=6, out_channels=4, n_subjects=3)
+    x = jnp.asarray(rng.standard_normal((2, 6, 5)).astype(np.float32))
+    subjects = jnp.asarray([0, 2])
+    params = model.init(jax.random.PRNGKey(0), x, subjects)
+    out = model.apply(params, x, subjects)
+    assert out.shape == (2, 4, 5)
+    # manual check against the gathered weights
+    w = params["params"]["weights"]
+    b = params["params"]["bias"]
+    exp0 = np.einsum("ct,cd->dt", np.asarray(x[0]), np.asarray(w[0])) + np.asarray(b[0])[:, None]
+    np.testing.assert_allclose(np.asarray(out[0]), exp0, atol=1e-5)
+
+
+def test_transformer_encoder_shapes(rng):
+    enc = TransformerEncoderConfig(depth=2, heads=4, attn_dropout=0.0).build(dim=64)
+    x = jnp.asarray(rng.standard_normal((2, 12, 64)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    y = enc.apply(params, x)
+    assert y.shape == x.shape
+    assert not np.allclose(np.asarray(y), np.asarray(x))
+
+
+def test_fmri_encoder_forward():
+    model, cfg, fd = _tiny_model()
+    batch = _batch(fd)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "modality": jax.random.PRNGKey(1)},
+        batch,
+        training=False,
+    )
+    out = model.apply(variables, batch, training=False)
+    assert out.shape == (4, 32, 10)
+    # sum aggregation also works
+    model2, _, _ = _tiny_model(feature_aggregation="sum", layer_aggregation="mean")
+    v2 = model2.init({"params": jax.random.PRNGKey(0)}, batch, training=False)
+    out2 = model2.apply(v2, batch, training=False)
+    assert out2.shape == (4, 32, 10)
+
+
+def test_fmri_encoder_contrastive():
+    model, cfg, fd = _tiny_model(
+        contrastive_enabled=True, contrastive_modalities=["audio"]
+    )
+    batch = _batch(fd)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        batch,
+        training=False,
+        method="forward_with_contrastive",
+    )
+    preds, losses = model.apply(
+        variables, batch, training=False, method="forward_with_contrastive"
+    )
+    assert preds.shape == (4, 32, 10)
+    assert "audio" in losses
+    assert float(losses["audio"]) > 0
+
+
+def test_modality_dropout_keeps_one():
+    model, cfg, fd = _tiny_model(modality_dropout=1.0)
+    batch = _batch(fd)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, training=False)
+    # with p=1.0 all modalities would drop; exactly one must survive
+    x = model.apply(
+        variables,
+        batch,
+        training=True,
+        rngs={"modality": jax.random.PRNGKey(7)},
+        method="aggregate_features",
+    )
+    arr = np.asarray(x).reshape(4, 20, 2, 32)  # (B, T, n_mod, hidden/n_mod)
+    alive = [np.abs(arr[:, :, m]).sum() > 0 for m in range(2)]
+    assert sum(alive) == 1
+
+
+def test_fmri_mlp_forward(rng):
+    cfg = FmriMlpConfig(hidden=32, n_blocks=2, subject_layers=True, n_subjects=3)
+    model = cfg.build(n_in_channels=16, n_outputs=8)
+    x = jnp.asarray(rng.standard_normal((2, 16, 1)).astype(np.float32))
+    subj = jnp.asarray([0, 1])
+    params = model.init(jax.random.PRNGKey(0), x, subj)
+    out = model.apply(params, x, subj)
+    assert out.shape == (2, 8)
+
+
+def test_losses():
+    p = jnp.asarray(np.random.randn(20, 5).astype(np.float32))
+    t = jnp.asarray(np.random.randn(20, 5).astype(np.float32))
+    for name in ["MSELoss", "L1Loss", "HuberLoss", "SmoothL1Loss"]:
+        fn = build_loss({"name": name})
+        v = float(fn(p, t))
+        assert np.isfinite(v) and v > 0
+    fn = build_loss({"name": "PearsonLoss"})
+    assert float(fn(p, p)) == pytest.approx(0.0, abs=1e-5)
+    assert float(fn(p, t)) > 0.1
+
+
+def test_metrics_surface():
+    m = build_metric(
+        {"log_name": "pearson", "name": "MultidimPearsonCorrCoef", "kwargs": {"num_outputs": 5}}
+    )
+    p = jnp.asarray(np.random.randn(30, 5).astype(np.float32))
+    m.update(p, p)
+    assert m.compute() == pytest.approx(1.0, abs=1e-4)
+
+    g = build_metric(
+        {"log_name": "subj", "name": "GroupedMetric",
+         "metric_name": "MultidimPearsonCorrCoef", "kwargs": {"num_outputs": 5}},
+        n_groups=2,
+    )
+    groups = jnp.asarray([0] * 15 + [1] * 15)
+    g.update(p, p, groups=groups)
+    out = g.compute()
+    assert out["0"] == pytest.approx(1.0, abs=1e-4)
+    assert out["1"] == pytest.approx(1.0, abs=1e-4)
+
+    topk = build_metric({"log_name": "ret", "name": "TopkAcc", "topk": 1})
+    topk.update(p, p)
+    assert topk.compute() == 1.0
+
+
+def test_trainer_end_to_end(tmp_path):
+    """A tiny model must overfit a learnable synthetic mapping."""
+    model, cfg, fd = _tiny_model(hidden=32, depth=1)
+    rng = np.random.default_rng(0)
+    # fmri is a fixed linear readout of the text feature -> learnable
+    w = rng.standard_normal((16, 32)).astype(np.float32) * 0.5
+
+    def make_batch(seed):
+        d = _batch(fd, b=4, seed=seed)
+        text = np.asarray(d["text"])  # (B, 2, 8, 20)
+        flat = text.reshape(4, 16, 20).transpose(0, 2, 1)  # B, T, 16
+        y = (flat @ w).transpose(0, 2, 1)  # B, 32, 20
+        y = y.reshape(4, 32, 10, 2).mean(-1)  # pool to 10
+        d["fmri"] = jnp.asarray(y)
+        return SegmentData(data={k: np.asarray(v) for k, v in d.items()}, segments=[None] * 4)  # type: ignore[list-item]
+
+    batches = [make_batch(s) for s in range(6)]
+    val = [make_batch(100)]
+
+    trainer = BrainTrainer(
+        model=model,
+        loss_fn=build_loss({"name": "MSELoss"}),
+        optim_config=OptimConfig(
+            optimizer={"name": "Adam", "lr": 1e-2},
+            scheduler={"name": "OneCycleLR", "kwargs": {"max_lr": 1e-2, "pct_start": 0.1}},
+        ),
+        metrics={
+            "val/pearson": build_metric(
+                {"log_name": "pearson", "name": "MultidimPearsonCorrCoef"}
+            )
+        },
+        config=TrainerConfig(
+            n_epochs=25, folder=tmp_path, seed=0, swa_start=0.8, patience=None
+        ),
+    )
+    trainer.init_state(batches[0], total_steps=25 * len(batches))
+    trainer.fit(lambda epoch: iter(batches), lambda: iter(val), steps_per_epoch=len(batches))
+    final = trainer.history[-1]
+    assert final["val/pearson"] > 0.5, trainer.history
+    # checkpoints saved and reloadable
+    assert (tmp_path / "last.ckpt").exists()
+    start_epoch = trainer.load_checkpoint(tmp_path / "last.ckpt")
+    assert start_epoch >= 24

@@ -1,0 +1,129 @@
+"""Ops: pooling parity with torch, layer agg, pearson, attention, resample."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from algonauts2025_tpu.ops import (
+    adaptive_avg_pool1d,
+    aggregate_layers,
+    apply_rotary,
+    compute_pearson,
+    dot_product_attention,
+    fused_attention,
+    init_pearson_state,
+    pearson_corr,
+    resample_poly,
+    rotary_angles,
+    update_pearson_state,
+)
+
+
+@pytest.mark.parametrize("n_in,n_out", [(298, 100), (300, 100), (100, 100), (7, 3)])
+def test_adaptive_pool_matches_torch(n_in, n_out, rng):
+    import torch
+
+    x = rng.standard_normal((2, 5, n_in)).astype(np.float32)
+    ours = adaptive_avg_pool1d(x, n_out)
+    theirs = torch.nn.AdaptiveAvgPool1d(n_out)(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_aggregate_layers_group_mean(rng):
+    latents = rng.standard_normal((9, 4, 6)).astype(np.float32)
+    out = aggregate_layers(latents, [0.5, 0.75, 1.0], "group_mean")
+    # indices: [4, 6, 8] -> groups [4:6], [6:9]
+    assert out.shape == (2, 4, 6)
+    np.testing.assert_allclose(out[0], latents[4:6].mean(0), atol=1e-6)
+    np.testing.assert_allclose(out[1], latents[6:9].mean(0), atol=1e-6)
+    # single layer
+    out1 = aggregate_layers(latents, [1.0], "group_mean")
+    assert out1.shape == (4, 6)
+    out2 = aggregate_layers(latents, [1.0], None)
+    assert out2.shape == (1, 4, 6)
+    out3 = aggregate_layers(latents, [0.0, 1.0], None)
+    assert out3.shape == (2, 4, 6)
+
+
+def test_pearson_matches_scipy(rng):
+    from scipy.stats import pearsonr
+
+    x = rng.standard_normal((50, 4)).astype(np.float32)
+    y = (x + 0.5 * rng.standard_normal((50, 4))).astype(np.float32)
+    r = np.asarray(pearson_corr(jnp.asarray(x), jnp.asarray(y)))
+    for d in range(4):
+        expected = pearsonr(x[:, d], y[:, d])[0]
+        assert r[d] == pytest.approx(expected, abs=1e-4)
+
+
+def test_streaming_pearson_matches_batch(rng):
+    x = rng.standard_normal((64, 6)).astype(np.float32)
+    y = rng.standard_normal((64, 6)).astype(np.float32)
+    state = init_pearson_state(6)
+    for i in range(0, 64, 16):
+        state = update_pearson_state(state, jnp.asarray(x[i : i + 16]), jnp.asarray(y[i : i + 16]))
+    streaming = np.asarray(compute_pearson(state))
+    direct = np.asarray(pearson_corr(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(streaming, direct, atol=1e-4)
+
+
+def test_rotary_preserves_norm(rng):
+    x = jnp.asarray(rng.standard_normal((2, 3, 10, 16)).astype(np.float32))
+    ang = jnp.asarray(rotary_angles(10, 8))
+    y = apply_rotary(x, ang)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x), axis=-1),
+        np.linalg.norm(np.asarray(y), axis=-1),
+        atol=1e-4,
+    )
+    # position 0 is unrotated
+    np.testing.assert_allclose(np.asarray(y[..., 0, :]), np.asarray(x[..., 0, :]), atol=1e-6)
+
+
+def test_attention_softmax_property(rng):
+    q = jnp.asarray(rng.standard_normal((1, 2, 5, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 5, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 5, 8)).astype(np.float32))
+    out = dot_product_attention(q, k, v)
+    assert out.shape == (1, 2, 5, 8)
+    # attention output is a convex combination of values
+    vmin = np.asarray(v).min(axis=2, keepdims=True)
+    vmax = np.asarray(v).max(axis=2, keepdims=True)
+    o = np.asarray(out)
+    assert (o >= vmin - 1e-4).all() and (o <= vmax + 1e-4).all()
+
+
+def test_fused_attention_matches_reference(rng):
+    q = jnp.asarray(rng.standard_normal((2, 4, 37, 24)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 4, 37, 24)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 4, 37, 24)).astype(np.float32))
+    ref = dot_product_attention(q, k, v)
+    # run the pallas kernel in interpret mode on CPU
+    from algonauts2025_tpu.ops.attention import _fused_attention_tpu
+
+    out = _fused_attention_tpu(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+@pytest.mark.parametrize("old,new", [(44100, 16000), (48000, 16000), (22050, 16000)])
+def test_resample_tone(old, new):
+    # a pure tone stays a pure tone with preserved amplitude
+    dur = 1.0
+    t_old = np.arange(int(old * dur)) / old
+    x = np.sin(2 * np.pi * 440.0 * t_old).astype(np.float32)
+    y = np.asarray(resample_poly(jnp.asarray(x), old, new))
+    assert y.shape[-1] == int(len(x) * new / old)
+    t_new = np.arange(len(y)) / new
+    expected = np.sin(2 * np.pi * 440.0 * t_new)
+    # ignore filter edges
+    sl = slice(200, -200)
+    err = np.abs(y[sl] - expected[sl]).max()
+    assert err < 5e-3
+
+
+def test_resample_identity():
+    x = jnp.asarray(np.random.randn(1000).astype(np.float32))
+    y = resample_poly(x, 16000, 16000)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
