@@ -1,0 +1,205 @@
+"""Wav2VecBert audio feature: frozen conformer states on the 2 Hz grid.
+
+Rebuild of reference data_utils/data_utils/features/audio.py:27-263.  Per
+Sound event: stereo->mono mean, global z-score (audio.py:123-127),
+polyphase resample to 16 kHz (julius replacement -> ops.resample, on
+device), kaldi log-mel frontend (ops.mel, fused under jit), frozen
+conformer hidden states, nearest-neighbor resampling of the (L+1, D, T50)
+stack onto the 2 Hz grid (torch F.interpolate default-mode parity,
+audio.py:163-171).  Cached per (filepath, offset, duration).
+"""
+
+from __future__ import annotations
+
+import logging
+import typing as tp
+
+import numpy as np
+import pydantic
+
+from ..core.events import Event, Sound, Video
+from ..core.timed import Frequency, TimedArray
+from .base import LayeredFeatureBase
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Wav2VecBert", "AudioBackbone", "TinyAudioBackbone"]
+
+TARGET_SR = 16000
+OUTPUT_HZ = 2.0
+
+
+def nearest_resample(x: np.ndarray, n_out: int) -> np.ndarray:
+    """torch F.interpolate(mode='nearest') over the last axis."""
+    n_in = x.shape[-1]
+    idx = np.floor(np.arange(n_out) * (n_in / n_out)).astype(int)
+    idx = np.clip(idx, 0, n_in - 1)
+    return x[..., idx]
+
+
+class AudioBackbone:
+    def hidden_states(self, wav_16k: np.ndarray) -> np.ndarray:
+        """(T,) 16 kHz waveform -> (L+1, T50, D) hidden stack."""
+        raise NotImplementedError
+
+
+class JaxAudioBackbone(AudioBackbone):
+    def __init__(self, model, params):
+        import jax
+
+        self.model = model
+        self.params = params
+
+        from ..ops.mel import log_mel_features
+
+        def fn(wav):
+            feats = log_mel_features(wav)[None]  # (1, T50, 160)
+            return self.model.apply({"params": self.params}, feats)
+
+        self._fn = jax.jit(fn)
+
+    def hidden_states(self, wav_16k: np.ndarray) -> np.ndarray:
+        out = self._fn(wav_16k)  # (L+1, 1, T50, D)
+        return np.asarray(out)[:, 0]
+
+
+class TinyAudioBackbone(JaxAudioBackbone):
+    """Small random-weight conformer for offline/synthetic runs."""
+
+    def __init__(self, hidden_size: int = 64, num_layers: int = 2, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.backbones.wav2vec_bert import (
+            Wav2VecBertBackbone,
+            Wav2VecBertConfig,
+        )
+
+        cfg = Wav2VecBertConfig(
+            hidden_size=hidden_size,
+            num_layers=num_layers,
+            num_heads=4,
+            intermediate_size=hidden_size * 2,
+            conv_kernel_size=7,
+            dtype=jnp.float32,
+        )
+        model = Wav2VecBertBackbone(cfg)
+        params = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 16, cfg.input_dim))
+        )["params"]
+        super().__init__(model, params)
+
+
+def load_hf_audio_backbone(model_name: str) -> JaxAudioBackbone:
+    import jax.numpy as jnp
+    from transformers import Wav2Vec2BertModel
+
+    from ..models.backbones.wav2vec_bert import (
+        Wav2VecBertBackbone,
+        Wav2VecBertConfig,
+        params_from_hf,
+    )
+
+    hf_model = Wav2Vec2BertModel.from_pretrained(model_name)
+    c = hf_model.config
+    cfg = Wav2VecBertConfig(
+        input_dim=c.feature_projection_input_dim,
+        hidden_size=c.hidden_size,
+        num_layers=c.num_hidden_layers,
+        num_heads=c.num_attention_heads,
+        intermediate_size=c.intermediate_size,
+        conv_kernel_size=c.conv_depthwise_kernel_size,
+        left_max_pos=c.left_max_position_embeddings,
+        right_max_pos=c.right_max_position_embeddings,
+        dtype=jnp.bfloat16,
+    )
+    params = params_from_hf(hf_model.state_dict(), cfg)
+    return JaxAudioBackbone(Wav2VecBertBackbone(cfg), params)
+
+
+class Wav2VecBert(LayeredFeatureBase):
+    name: tp.Literal["Wav2VecBert"] = "Wav2VecBert"
+    model_name: str = "facebook/w2v-bert-2.0"
+
+    event_type: tp.ClassVar[str] = "Sound"
+    frequency: tp.ClassVar[float] = OUTPUT_HZ
+
+    _backbone: AudioBackbone | None = pydantic.PrivateAttr(default=None)
+
+    def _exclude_from_cache_uid(self) -> list[str]:
+        return ["device", "layers", "layer_aggregation"]
+
+    @staticmethod
+    def item_uid(event: Event) -> str:
+        return f"{event.filepath}_{event.offset:.2f}_{event.duration:.2f}"  # type: ignore[attr-defined]
+
+    def set_backbone(self, backbone: AudioBackbone) -> None:
+        self._backbone = backbone
+
+    @property
+    def backbone(self) -> AudioBackbone:
+        if self._backbone is None:
+            if self.model_name == "tiny-random":
+                self._backbone = TinyAudioBackbone()
+            else:
+                try:
+                    self._backbone = load_hf_audio_backbone(self.model_name)
+                except Exception as e:
+                    logger.warning(
+                        "Could not load %s (%s); using TinyAudioBackbone",
+                        self.model_name,
+                        e,
+                    )
+                    self._backbone = TinyAudioBackbone()
+        return self._backbone
+
+    def _read_wav(self, event: Event) -> tuple[np.ndarray, float]:
+        if isinstance(event, Sound):
+            return np.asarray(event.read(), dtype=np.float32), float(event.frequency)
+        if isinstance(event, Video):
+            # audio demuxed next to the video by ExtractAudioFromVideo
+            from pathlib import Path
+
+            from ..io import wav as wavio
+
+            wav_path = Path(str(event.filepath)).with_suffix(".wav")
+            sr = wavio.info(str(wav_path)).samplerate
+            data = wavio.read(
+                str(wav_path),
+                start=int(event.offset * sr),
+                frames=int(event.duration * sr),
+            )
+            return data, float(sr)
+        raise TypeError(f"Unsupported event for audio feature: {type(event)}")
+
+    def _compute(self, events: tp.Sequence[Event]) -> tp.Iterator[np.ndarray]:
+        import jax.numpy as jnp
+
+        from ..ops.resample import resample_poly
+
+        backbone = self.backbone
+        for event in events:
+            wav, sfreq = self._read_wav(event)
+            wav = wav.mean(axis=1)  # stereo -> mono
+            wav = (wav - wav.mean()) / (1e-8 + wav.std())
+            if int(sfreq) != TARGET_SR:
+                wav = np.asarray(resample_poly(jnp.asarray(wav), int(sfreq), TARGET_SR))
+            states = backbone.hidden_states(wav)  # (L+1, T50, D)
+            latents = np.transpose(states, (0, 2, 1))  # (L+1, D, T50)
+            timepoints = Frequency(OUTPUT_HZ).to_ind(event.duration)
+            if timepoints != latents.shape[-1]:
+                latents = nearest_resample(latents, max(1, timepoints))
+            yield latents.astype(np.float32)
+
+    def _get_timed_arrays(
+        self, events: list[Event], start: float, duration: float
+    ) -> tp.Iterable[TimedArray]:
+        for latent, event in zip(self._get_data(events), events):
+            tdata = TimedArray(
+                data=np.asarray(latent), start=event.start, frequency=OUTPUT_HZ
+            )
+            sub = tdata.overlap(start=start, duration=duration)
+            if sub is None:
+                sub = tdata.overlap(start=tdata.start, duration=0)
+            sub.data = self._aggregate_layers(sub.data)
+            yield sub

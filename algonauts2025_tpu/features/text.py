@@ -1,0 +1,234 @@
+"""LLAMA3p2 text feature: frozen Llama hidden states pooled per word.
+
+Rebuild of reference data_utils/data_utils/features/text.py:42-256.  Each
+Word event carries its running left context; the frozen backbone encodes
+the context batch, and the word embedding is the mean of the hidden states
+over the last ``len(word)`` token positions (a reference quirk: the
+*character* length of the word string caps the token span — preserved for
+parity, text.py:252-254).  Results are cached per ``(text, context)`` uid.
+
+TPU execution: contexts are tokenized host-side, bucketed by length to
+bounded static shapes, and encoded in jit'd batches of the full (L+1)
+hidden stack.
+"""
+
+from __future__ import annotations
+
+import logging
+import typing as tp
+
+import numpy as np
+import pydantic
+
+from ..core.events import Event, Word
+from ..core.timed import TimedArray
+from .base import LayeredFeatureBase
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["LLAMA3p2", "TextBackbone", "TinyTextBackbone", "HashTokenizer"]
+
+
+class TextBackbone:
+    """Protocol: encode(texts) -> (ids, mask); hidden_states -> (L+1,B,T,D)."""
+
+    def encode(self, texts: list[str], max_len: int) -> tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    def hidden_states(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class HashTokenizer:
+    """Deterministic hash tokenizer (whitespace words -> ids).
+
+    Stand-in when the real HF tokenizer assets are unavailable; keeps the
+    full pipeline runnable offline (synthetic studies, smoke tests).
+    """
+
+    def __init__(self, vocab_size: int, pad_id: int = 0):
+        self.vocab_size = vocab_size
+        self.pad_id = pad_id
+
+    def __call__(self, text: str) -> list[int]:
+        import hashlib
+
+        out = []
+        for w in text.split():
+            h = int(hashlib.sha256(w.lower().encode()).hexdigest()[:8], 16)
+            out.append(1 + h % (self.vocab_size - 1))
+        return out
+
+
+def _bucket(n: int, buckets: tp.Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class JaxTextBackbone(TextBackbone):
+    """A flax LlamaBackbone + tokenizer running under jit (bf16)."""
+
+    BUCKETS = (32, 64, 128, 256, 512, 1024)
+
+    def __init__(self, model, params, tokenizer, pad_id: int):
+        import jax
+
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.pad_id = pad_id
+        self._fn = jax.jit(
+            lambda ids, mask: self.model.apply({"params": self.params}, ids, mask)
+        )
+
+    def encode(self, texts: list[str], max_len: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+        seqs = []
+        for t in texts:
+            if hasattr(self.tokenizer, "encode"):  # HF tokenizer
+                ids = self.tokenizer.encode(t, add_special_tokens=False)
+            else:
+                ids = self.tokenizer(t)
+            seqs.append(ids[-max_len:] if len(ids) > max_len else ids)  # left-truncate
+        longest = max((len(s) for s in seqs), default=1)
+        width = _bucket(max(1, longest), self.BUCKETS)
+        ids = np.full((len(seqs), width), self.pad_id, dtype=np.int32)
+        mask = np.zeros((len(seqs), width), dtype=np.int32)
+        for i, s in enumerate(seqs):
+            if not s:
+                s = [self.pad_id]
+            ids[i, : len(s)] = s  # right padding (reference tokenizer default)
+            mask[i, : len(s)] = 1
+        return ids, mask
+
+    def hidden_states(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        out = self._fn(ids, mask)
+        return np.asarray(out)
+
+
+class TinyTextBackbone(JaxTextBackbone):
+    """Small random-weight Llama for offline/synthetic runs."""
+
+    def __init__(self, hidden_size: int = 64, num_layers: int = 4, vocab: int = 512, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.backbones.llama import LlamaBackbone, LlamaConfig
+
+        cfg = LlamaConfig(
+            vocab_size=vocab,
+            hidden_size=hidden_size,
+            intermediate_size=hidden_size * 2,
+            num_layers=num_layers,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=hidden_size // 4,
+            rope_scaling_factor=1.0,
+            dtype=jnp.float32,
+        )
+        model = LlamaBackbone(cfg)
+        params = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 8), jnp.int32)
+        )["params"]
+        super().__init__(model, params, HashTokenizer(vocab), pad_id=0)
+
+
+def load_hf_text_backbone(model_name: str) -> JaxTextBackbone:
+    """Build the full-size backbone from a local HF checkpoint."""
+    import jax.numpy as jnp
+    from transformers import AutoModel, AutoTokenizer
+
+    from ..models.backbones.llama import (
+        LLAMA_3P2_3B,
+        LlamaBackbone,
+        LlamaConfig,
+        params_from_hf,
+    )
+
+    tokenizer = AutoTokenizer.from_pretrained(model_name, truncation_side="left")
+    hf_model = AutoModel.from_pretrained(model_name)
+    hf_cfg = hf_model.config
+    cfg = LlamaConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        num_kv_heads=hf_cfg.num_key_value_heads,
+        head_dim=hf_cfg.hidden_size // hf_cfg.num_attention_heads,
+        rope_theta=hf_cfg.rope_theta,
+        dtype=jnp.bfloat16,
+    )
+    params = params_from_hf(hf_model.state_dict(), cfg)
+    model = LlamaBackbone(cfg)
+    pad_id = tokenizer.pad_token_id or tokenizer.eos_token_id
+    return JaxTextBackbone(model, params, tokenizer, pad_id)
+
+
+class LLAMA3p2(LayeredFeatureBase):
+    """Word-level Llama feature on the 2 Hz grid."""
+
+    name: tp.Literal["LLAMA3p2"] = "LLAMA3p2"
+    model_name: str = "meta-llama/Llama-3.2-3B"
+    batch_size: int = 8
+    max_context_tokens: int = 1024
+
+    event_type: tp.ClassVar[str] = "Word"
+    frequency: tp.ClassVar[float] = 2.0
+
+    _backbone: TextBackbone | None = pydantic.PrivateAttr(default=None)
+
+    def _exclude_from_cache_uid(self) -> list[str]:
+        return ["device", "layers", "layer_aggregation", "batch_size"]
+
+    @staticmethod
+    def item_uid(event: Event) -> str:
+        return f"{event.text}_{event.context}"  # type: ignore[attr-defined]
+
+    def set_backbone(self, backbone: TextBackbone) -> None:
+        self._backbone = backbone
+
+    @property
+    def backbone(self) -> TextBackbone:
+        if self._backbone is None:
+            if self.model_name == "tiny-random":
+                self._backbone = TinyTextBackbone()
+            else:
+                try:
+                    self._backbone = load_hf_text_backbone(self.model_name)
+                except Exception as e:  # offline: keep pipeline alive
+                    logger.warning(
+                        "Could not load %s (%s); using TinyTextBackbone",
+                        self.model_name,
+                        e,
+                    )
+                    self._backbone = TinyTextBackbone()
+        return self._backbone
+
+    def _compute(self, events: tp.Sequence[Word]) -> tp.Iterator[np.ndarray]:
+        backbone = self.backbone
+        bs = self.batch_size
+        for i in range(0, len(events), bs):
+            chunk = events[i : i + bs]
+            contexts = [e.context or e.text for e in chunk]
+            ids, mask = backbone.encode(contexts, self.max_context_tokens)
+            states = backbone.hidden_states(ids, mask)  # (L+1, B, T, D)
+            for j, event in enumerate(chunk):
+                n_valid = int(mask[j].sum())
+                span = max(1, min(len(event.text), n_valid))
+                # last len(word) valid positions, mean-pooled (reference parity)
+                word_state = states[:, j, n_valid - span : n_valid, :].mean(axis=1)
+                yield word_state.astype(np.float32)  # (L+1, D)
+
+    def _get_timed_arrays(
+        self, events: list[Word], start: float, duration: float
+    ) -> tp.Iterable[TimedArray]:
+        for event, latent in zip(events, self._get_data(events)):
+            latent = self._aggregate_layers(np.asarray(latent))
+            yield TimedArray(
+                frequency=0,
+                duration=event.duration,
+                start=event.start,
+                data=latent,
+            )

@@ -1,0 +1,222 @@
+"""Llama-3.x decoder backbone (flax.linen) for frozen text-feature extraction.
+
+The reference runs HF ``meta-llama/Llama-3.2-3B`` in torch and stacks all
+hidden layers (reference features/text.py:161-183, 226-256).  This is a
+TPU-native reimplementation: GQA attention with llama3-scaled RoPE, RMSNorm,
+SwiGLU MLP, returning the full (L+1, B, T, D) hidden-state stack under one
+jit.  Weights convert from the HF checkpoint with ``params_from_hf``.
+
+Numerics: bf16 activations with fp32 RMSNorm/softmax accumulation — the
+standard TPU recipe for frozen inference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LlamaConfig", "LlamaBackbone", "params_from_hf", "LLAMA_3P2_3B"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 3072
+    intermediate_size: int = 8192
+    num_layers: int = 28
+    num_heads: int = 24
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    # llama3 rope scaling (3.2 family)
+    rope_scaling_factor: float = 32.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+    dtype: tp.Any = jnp.bfloat16
+
+
+LLAMA_3P2_3B = LlamaConfig()
+
+
+def _llama3_rope_freqs(cfg: LlamaConfig) -> np.ndarray:
+    """Inverse frequencies with the llama3 long-context rescaling."""
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (np.arange(0, cfg.head_dim, 2, dtype=np.float64) / cfg.head_dim)
+    )
+    if cfg.rope_scaling_factor and cfg.rope_scaling_factor != 1.0:
+        low_wavelen = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+        high_wavelen = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+        wavelen = 2 * np.pi / inv_freq
+        scaled = inv_freq / cfg.rope_scaling_factor
+        smooth = (cfg.rope_original_max_position / wavelen - cfg.rope_low_freq_factor) / (
+            cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+        )
+        smoothed = (1 - smooth) * scaled + smooth * inv_freq
+        inv_freq = np.where(
+            wavelen > low_wavelen,
+            scaled,
+            np.where(wavelen < high_wavelen, inv_freq, smoothed),
+        )
+    return inv_freq.astype(np.float32)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32**2, axis=-1, keepdims=True)
+        out = x32 * jax.lax.rsqrt(var + self.eps)
+        return (out * w).astype(x.dtype)
+
+
+class LlamaMlp(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        dense = lambda features, name: nn.Dense(
+            features, use_bias=False, dtype=cfg.dtype, name=name
+        )
+        gate = dense(cfg.intermediate_size, "gate_proj")(x)
+        up = dense(cfg.intermediate_size, "up_proj")(x)
+        return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
+
+
+class LlamaBackbone(nn.Module):
+    """Frozen decoder; returns all hidden states (L+1, B, T, D)."""
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(
+        self, input_ids: jax.Array, attention_mask: jax.Array | None = None
+    ) -> jax.Array:
+        cfg = self.cfg
+        b, t = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, t), jnp.int32)
+        embed = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype, name="embed_tokens"
+        )
+        x = embed(input_ids)
+        positions = jnp.cumsum(attention_mask, axis=-1) - 1  # left-pad tolerant
+        positions = jnp.maximum(positions, 0)
+        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        pad = attention_mask[:, None, None, :].astype(bool)
+        mask = causal & pad
+
+        # per-batch positions -> per-batch cos/sin
+        inv = jnp.asarray(_llama3_rope_freqs(cfg))
+        ang = positions[..., None].astype(jnp.float32) * inv  # (B, T, hd/2)
+        emb = jnp.concatenate([ang, ang], axis=-1)  # (B, T, hd)
+        cos, sin = jnp.cos(emb), jnp.sin(emb)
+
+        def rope(x_heads, c, s):
+            return x_heads * c[:, None] + _rotate_half(x_heads) * s[:, None]
+
+        states = [x]
+        for i in range(cfg.num_layers):
+            h = RMSNorm(cfg.rms_eps, name=f"layers_{i}_input_norm")(x)
+            # inline attention with per-batch rope
+            attn = LlamaAttention(cfg, name=f"layers_{i}_attn")(h, cos, sin, mask)
+            x = x + attn
+            h = RMSNorm(cfg.rms_eps, name=f"layers_{i}_post_norm")(x)
+            x = x + LlamaMlp(cfg, name=f"layers_{i}_mlp")(h)
+            states.append(x)
+        x = RMSNorm(cfg.rms_eps, name="final_norm")(x)
+        states[-1] = x  # HF returns the final-normed state as the last layer
+        return jnp.stack([s.astype(jnp.float32) for s in states])
+
+
+class LlamaAttention(nn.Module):
+    """GQA attention with per-batch llama3 RoPE tables (padding tolerant)."""
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask):
+        cfg = self.cfg
+        b, t, _ = x.shape
+        hd = cfg.head_dim
+        dense = lambda features, name: nn.Dense(
+            features, use_bias=False, dtype=cfg.dtype, name=name
+        )
+        q = dense(cfg.num_heads * hd, "q_proj")(x)
+        k = dense(cfg.num_kv_heads * hd, "k_proj")(x)
+        v = dense(cfg.num_kv_heads * hd, "v_proj")(x)
+        q = q.reshape(b, t, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, cfg.num_kv_heads, hd).transpose(0, 2, 1, 3)
+
+        def rope(z):
+            return (
+                z.astype(jnp.float32) * cos[:, None] + _rotate_half(z.astype(jnp.float32)) * sin[:, None]
+            ).astype(cfg.dtype)
+
+        q, k = rope(q), rope(k)
+        rep = cfg.num_heads // cfg.num_kv_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / hd**0.5
+        scores = jnp.where(mask, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * hd)
+        return dense(cfg.hidden_size, "o_proj")(out)
+
+
+def params_from_hf(state_dict: tp.Mapping[str, tp.Any], cfg: LlamaConfig) -> dict:
+    """Convert an HF LlamaModel state dict (torch tensors or arrays) to
+    this module's param pytree."""
+
+    def arr(name, transpose=False):
+        w = state_dict[name]
+        w = np.asarray(w.to(dtype=_torch_f32()) if hasattr(w, "to") else w, dtype=np.float32)
+        if transpose:
+            w = w.T
+        return jnp.asarray(w, dtype=cfg.dtype)
+
+    params: dict[str, tp.Any] = {
+        "embed_tokens": {"embedding": arr("embed_tokens.weight")},
+        "final_norm": {"weight": arr("norm.weight").astype(jnp.float32)},
+    }
+    for i in range(cfg.num_layers):
+        p = f"layers.{i}."
+        params[f"layers_{i}_input_norm"] = {
+            "weight": arr(p + "input_layernorm.weight").astype(jnp.float32)
+        }
+        params[f"layers_{i}_post_norm"] = {
+            "weight": arr(p + "post_attention_layernorm.weight").astype(jnp.float32)
+        }
+        params[f"layers_{i}_attn"] = {
+            n: {"kernel": arr(p + f"self_attn.{n}.weight", transpose=True)}
+            for n in ["q_proj", "k_proj", "v_proj", "o_proj"]
+        }
+        params[f"layers_{i}_mlp"] = {
+            n: {"kernel": arr(p + f"mlp.{n}.weight", transpose=True)}
+            for n in ["gate_proj", "up_proj", "down_proj"]
+        }
+    return params
+
+
+def _torch_f32():
+    import torch
+
+    return torch.float32

@@ -1,0 +1,202 @@
+"""V-JEPA2 video ViT backbone (flax.linen) for frozen video features.
+
+The reference runs HF ``facebook/vjepa2-vitg-fpc64-256`` in torch
+(reference features/video.py:239-274).  TPU-native reimplementation of the
+encoder: 3D tubelet patch embedding (tubelet 2 x patch 16), pre-LN ViT
+blocks with the V-JEPA 3D rotary attention (frame/height/width thirds of
+each head rotated independently, theta 10000, tiled cos/sin + interleaved
+pair rotation — replicated exactly from the original convention), GELU MLP,
+final LayerNorm.  Returns the (L+1, B, N, D) hidden-state stack (last entry
+final-normed, HF parity).
+
+The patch embedding is expressed as a reshape + single matmul (einsum) —
+the tubelet conv has stride == kernel, so on TPU it is exactly a patchify
++ projection, which XLA maps straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["VJEPA2Config", "VJEPA2Backbone", "params_from_hf", "VJEPA2_VITG"]
+
+
+@dataclasses.dataclass(frozen=True)
+class VJEPA2Config:
+    crop_size: int = 256
+    patch_size: int = 16
+    tubelet_size: int = 2
+    frames_per_clip: int = 64
+    hidden_size: int = 1408
+    num_layers: int = 40
+    num_heads: int = 22
+    mlp_ratio: float = 48 / 11
+    layer_norm_eps: float = 1e-6
+    dtype: tp.Any = jnp.bfloat16
+
+
+VJEPA2_VITG = VJEPA2Config()
+
+
+def _rope_1d(x: jax.Array, pos: jax.Array) -> jax.Array:
+    """V-JEPA rotary on a head-dim slice.
+
+    x: (B, H, N, D); pos: (N,).  cos/sin tables are *tiled* (not
+    interleaved) across the last dim while rotation pairs are interleaved —
+    faithful to the original repo's rotate_queries_or_keys.
+    """
+    d = x.shape[-1]
+    omega = jnp.arange(d // 2, dtype=jnp.float32) / (d / 2.0)
+    omega = 1.0 / 10000**omega
+    freq = pos[:, None].astype(jnp.float32) * omega  # (N, d/2)
+    emb_sin = jnp.tile(jnp.sin(freq), (1, 2))  # (N, d)
+    emb_cos = jnp.tile(jnp.cos(freq), (1, 2))
+    y = x.reshape(x.shape[:-1] + (d // 2, 2))
+    y1, y2 = y[..., 0], y[..., 1]
+    rot = jnp.stack([-y2, y1], axis=-1).reshape(x.shape)
+    return x * emb_cos + rot * emb_sin
+
+
+class VJEPA2Attention(nn.Module):
+    cfg: VJEPA2Config
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        b, n, _ = x.shape
+        h = cfg.num_heads
+        hd = cfg.hidden_size // h
+        dense = lambda name, features=cfg.hidden_size, bias=True: nn.Dense(
+            features, use_bias=bias, dtype=cfg.dtype, name=name
+        )
+        q = dense("query")(x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
+        k = dense("key")(x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
+        v = dense("value")(x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
+
+        # 3D position ids over (frame, height, width)
+        grid = cfg.crop_size // cfg.patch_size
+        tokens_per_frame = grid * grid
+        ids = jnp.arange(n)
+        frame_ids = ids // tokens_per_frame
+        rem = ids - frame_ids * tokens_per_frame
+        height_ids = rem // grid
+        width_ids = rem - height_ids * grid
+
+        d_dim = int(2 * ((hd // 3) // 2))
+        s = 0
+        parts = []
+        for pos in (frame_ids, height_ids, width_ids):
+            parts.append((s, s + d_dim, pos))
+            s += d_dim
+
+        def rope(z):
+            z32 = z.astype(jnp.float32)
+            pieces = [
+                _rope_1d(z32[..., a:b_], pos) for a, b_, pos in parts
+            ]
+            if s < hd:
+                pieces.append(z32[..., s:])
+            return jnp.concatenate(pieces, axis=-1).astype(cfg.dtype)
+
+        q, k = rope(q), rope(k)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / hd**0.5
+        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.hidden_size)
+        return dense("proj")(out)
+
+
+class VJEPA2Backbone(nn.Module):
+    """Frozen encoder; input (B, T, H, W, 3) normalized pixels."""
+
+    cfg: VJEPA2Config
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        b, t, hgt, wid, c = pixels.shape
+        ts, ps = cfg.tubelet_size, cfg.patch_size
+        # tubelet patchify: (B, T/ts, ts, H/ps, ps, W/ps, ps, C) -> tokens
+        x = pixels.reshape(b, t // ts, ts, hgt // ps, ps, wid // ps, ps, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # (B, T', Hp, Wp, ts, ps, ps, C)
+        x = x.reshape(b, (t // ts) * (hgt // ps) * (wid // ps), ts * ps * ps * c)
+        kernel = self.param(
+            "patch_kernel",
+            nn.initializers.lecun_normal(),
+            (ts * ps * ps * c, cfg.hidden_size),
+        )
+        bias = self.param("patch_bias", nn.initializers.zeros, (cfg.hidden_size,))
+        x = (
+            jnp.einsum(
+                "bnd,dk->bnk",
+                x.astype(cfg.dtype),
+                kernel.astype(cfg.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + bias
+        ).astype(cfg.dtype)
+
+        states = [x]
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name)
+        for i in range(cfg.num_layers):
+            x = x + VJEPA2Attention(cfg, name=f"layers_{i}_attn")(ln(f"layers_{i}_norm1")(x))
+            h = ln(f"layers_{i}_norm2")(x)
+            h = nn.Dense(
+                int(cfg.hidden_size * cfg.mlp_ratio), dtype=cfg.dtype, name=f"layers_{i}_fc1"
+            )(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name=f"layers_{i}_fc2")(h)
+            x = x + h
+            states.append(x)
+        x = ln("final_norm")(x)
+        states[-1] = x
+        return jnp.stack([state.astype(jnp.float32) for state in states])
+
+
+def params_from_hf(state_dict: tp.Mapping[str, tp.Any], cfg: VJEPA2Config) -> dict:
+    """Convert an HF VJEPA2Model encoder state dict to this param pytree."""
+
+    def arr(name, transpose=False):
+        w = state_dict[name]
+        w = np.asarray(w.float() if hasattr(w, "float") else w, dtype=np.float32)
+        if transpose:
+            w = w.T
+        return jnp.asarray(w)
+
+    def linear(prefix):
+        return {"kernel": arr(prefix + ".weight", transpose=True), "bias": arr(prefix + ".bias")}
+
+    def layernorm(prefix):
+        return {"scale": arr(prefix + ".weight"), "bias": arr(prefix + ".bias")}
+
+    pref = "encoder."
+    # conv3d weight (D, C, ts, ps, ps) -> flat (ts*ps*ps*C, D) matching our
+    # patchify order (ts, ps, ps, C)
+    conv_w = arr(pref + "embeddings.patch_embeddings.proj.weight")
+    d = conv_w.shape[0]
+    kernel = np.transpose(np.asarray(conv_w), (2, 3, 4, 1, 0)).reshape(-1, d)
+    params: dict[str, tp.Any] = {
+        "patch_kernel": jnp.asarray(kernel),
+        "patch_bias": arr(pref + "embeddings.patch_embeddings.proj.bias"),
+        "final_norm": layernorm(pref + "layernorm"),
+    }
+    for i in range(cfg.num_layers):
+        p = pref + f"layer.{i}."
+        params[f"layers_{i}_norm1"] = layernorm(p + "norm1")
+        params[f"layers_{i}_norm2"] = layernorm(p + "norm2")
+        params[f"layers_{i}_attn"] = {
+            "query": linear(p + "attention.query"),
+            "key": linear(p + "attention.key"),
+            "value": linear(p + "attention.value"),
+            "proj": linear(p + "attention.proj"),
+        }
+        params[f"layers_{i}_fc1"] = linear(p + "mlp.fc1")
+        params[f"layers_{i}_fc2"] = linear(p + "mlp.fc2")
+    return params

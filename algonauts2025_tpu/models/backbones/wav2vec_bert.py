@@ -1,0 +1,231 @@
+"""Wav2Vec2-BERT conformer backbone (flax.linen) for frozen audio features.
+
+The reference runs HF ``facebook/w2v-bert-2.0`` in torch (reference
+features/audio.py:44-50, 253-263).  TPU-native reimplementation of the
+inference path for ``position_embeddings_type="relative_key"`` (the
+w2v-bert-2.0 setting): feature projection (LayerNorm + Linear over 160-dim
+stacked log-mel frames) followed by conformer blocks — half-step FFNs,
+self-attention with clamped relative-distance key bias, and a causal
+depthwise-conv module.  Returns the (L+1, B, T, D) hidden-state stack.
+
+Weight conversion from the HF checkpoint via ``params_from_hf``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Wav2VecBertConfig", "Wav2VecBertBackbone", "params_from_hf", "W2V_BERT_2_0"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2VecBertConfig:
+    input_dim: int = 160
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    conv_kernel_size: int = 31
+    left_max_pos: int = 64
+    right_max_pos: int = 8
+    layer_norm_eps: float = 1e-5
+    dtype: tp.Any = jnp.bfloat16
+
+
+W2V_BERT_2_0 = Wav2VecBertConfig()
+
+
+class FeedForward(nn.Module):
+    cfg: Wav2VecBertConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="intermediate_dense")(x)
+        x = nn.swish(x)
+        return nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="output_dense")(x)
+
+
+class ConvModule(nn.Module):
+    cfg: Wav2VecBertConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask=None):
+        cfg = self.cfg
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
+        if pad_mask is not None:
+            h = jnp.where(pad_mask[..., None], h, 0.0)
+        # pointwise conv 1 (-> 2*hidden) + GLU over channels
+        h = nn.Dense(2 * cfg.hidden_size, use_bias=False, dtype=cfg.dtype, name="pointwise_conv1")(h)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(b)
+        # causal depthwise conv: pad (k-1) on the left of time
+        k = cfg.conv_kernel_size
+        h = jnp.pad(h, ((0, 0), (k - 1, 0), (0, 0)))
+        h = nn.Conv(
+            features=cfg.hidden_size,
+            kernel_size=(k,),
+            feature_group_count=cfg.hidden_size,
+            padding="VALID",
+            use_bias=False,
+            dtype=cfg.dtype,
+            name="depthwise_conv",
+        )(h)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="depthwise_layer_norm")(h)
+        h = nn.swish(h)
+        h = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype, name="pointwise_conv2")(h)
+        return h
+
+
+class RelKeyAttention(nn.Module):
+    """Self-attention with clamped relative-distance key bias
+    (HF modeling_wav2vec2_bert.py:308-320)."""
+
+    cfg: Wav2VecBertConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias=None):
+        cfg = self.cfg
+        b, t, _ = x.shape
+        h, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+        dense = lambda name, features=cfg.hidden_size, bias=True: nn.Dense(
+            features, use_bias=bias, dtype=cfg.dtype, name=name
+        )
+        q = dense("linear_q")(x).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        k = dense("linear_k")(x).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        v = dense("linear_v")(x).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores / hd**0.5
+
+        # relative key bias: distance clamped to [-left, right]
+        n_pos = cfg.left_max_pos + cfg.right_max_pos + 1
+        dist_emb = self.param(
+            "distance_embedding",
+            nn.initializers.normal(0.02),
+            (n_pos, hd),
+        )
+        pos_l = jnp.arange(t)[:, None]
+        pos_r = jnp.arange(t)[None, :]
+        distance = jnp.clip(pos_r - pos_l, -cfg.left_max_pos, cfg.right_max_pos)
+        pe = jnp.take(dist_emb, distance + cfg.left_max_pos, axis=0)  # (L, R, hd)
+        rel = jnp.einsum(
+            "bhld,lrd->bhlr",
+            q.astype(jnp.float32),
+            pe.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores + rel / hd**0.5
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.hidden_size)
+        return dense("linear_out")(out)
+
+
+class ConformerLayer(nn.Module):
+    cfg: Wav2VecBertConfig
+
+    @nn.compact
+    def __call__(self, x, attn_bias=None, pad_mask=None):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name)
+        x = x + 0.5 * FeedForward(cfg, name="ffn1")(ln("ffn1_layer_norm")(x))
+        x = x + RelKeyAttention(cfg, name="self_attn")(
+            ln("self_attn_layer_norm")(x), attn_bias
+        )
+        x = x + ConvModule(cfg, name="conv_module")(x, pad_mask)
+        x = x + 0.5 * FeedForward(cfg, name="ffn2")(ln("ffn2_layer_norm")(x))
+        return ln("final_layer_norm")(x)
+
+
+class Wav2VecBertBackbone(nn.Module):
+    """Frozen conformer; returns all hidden states (L+1, B, T, D)."""
+
+    cfg: Wav2VecBertConfig
+
+    @nn.compact
+    def __call__(
+        self, input_features: jax.Array, attention_mask: jax.Array | None = None
+    ) -> jax.Array:
+        cfg = self.cfg
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="fp_layer_norm")(
+            input_features
+        )
+        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fp_projection")(x)
+        attn_bias = None
+        pad_mask = None
+        if attention_mask is not None:
+            pad_mask = attention_mask.astype(bool)
+            x = jnp.where(pad_mask[..., None], x, 0.0)
+            attn_bias = jnp.where(pad_mask[:, None, None, :], 0.0, -1e30)
+        states = [x]
+        for i in range(cfg.num_layers):
+            x = ConformerLayer(cfg, name=f"layers_{i}")(x, attn_bias, pad_mask)
+            states.append(x)
+        return jnp.stack([s.astype(jnp.float32) for s in states])
+
+
+def params_from_hf(
+    state_dict: tp.Mapping[str, tp.Any], cfg: Wav2VecBertConfig
+) -> dict:
+    """Convert an HF Wav2Vec2BertModel state dict to this param pytree."""
+
+    def arr(name, transpose=False):
+        w = state_dict[name]
+        w = np.asarray(w.float() if hasattr(w, "float") else w, dtype=np.float32)
+        if transpose:
+            w = w.T
+        return jnp.asarray(w)
+
+    def linear(prefix, bias=True):
+        out = {"kernel": arr(prefix + ".weight", transpose=True)}
+        if bias:
+            out["bias"] = arr(prefix + ".bias")
+        return out
+
+    def layernorm(prefix):
+        return {"scale": arr(prefix + ".weight"), "bias": arr(prefix + ".bias")}
+
+    params: dict[str, tp.Any] = {
+        "fp_layer_norm": layernorm("feature_projection.layer_norm"),
+        "fp_projection": linear("feature_projection.projection"),
+    }
+    for i in range(cfg.num_layers):
+        p = f"encoder.layers.{i}."
+        layer: dict[str, tp.Any] = {}
+        for ff in ["ffn1", "ffn2"]:
+            layer[f"{ff}_layer_norm"] = layernorm(p + f"{ff}_layer_norm")
+            layer[ff] = {
+                "intermediate_dense": linear(p + f"{ff}.intermediate_dense"),
+                "output_dense": linear(p + f"{ff}.output_dense"),
+            }
+        layer["self_attn_layer_norm"] = layernorm(p + "self_attn_layer_norm")
+        attn = {
+            name: linear(p + f"self_attn.{name}")
+            for name in ["linear_q", "linear_k", "linear_v", "linear_out"]
+        }
+        attn["distance_embedding"] = arr(p + "self_attn.distance_embedding.weight")
+        layer["self_attn"] = attn
+        # conv module: torch conv1d weight (out, in/groups, k)
+        pw1 = arr(p + "conv_module.pointwise_conv1.weight")  # (2H, H, 1)
+        pw2 = arr(p + "conv_module.pointwise_conv2.weight")  # (H, H, 1)
+        dw = arr(p + "conv_module.depthwise_conv.weight")  # (H, 1, K)
+        layer["conv_module"] = {
+            "layer_norm": layernorm(p + "conv_module.layer_norm"),
+            "depthwise_layer_norm": layernorm(p + "conv_module.depthwise_layer_norm"),
+            # as Dense kernels (in, out)
+            "pointwise_conv1": {"kernel": pw1[:, :, 0].T},
+            "pointwise_conv2": {"kernel": pw2[:, :, 0].T},
+            # flax Conv kernel: (k, in/groups, out)
+            "depthwise_conv": {"kernel": jnp.transpose(dw, (2, 1, 0))},
+        }
+        layer["final_layer_norm"] = layernorm(p + "final_layer_norm")
+        params[f"layers_{i}"] = layer
+    return params

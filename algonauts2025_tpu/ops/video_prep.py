@@ -1,0 +1,44 @@
+"""Video preprocessing on device: resize, center-crop, normalize.
+
+Replaces the HF VJEPA2VideoProcessor host loop (reference
+features/video.py:252-264 runs it per window on CPU): here the whole
+uint8 (T, H, W, 3) window is shipped to the device once and the
+bilinear resize + crop + rescale + normalize run fused under jit, so
+preprocessing overlaps backbone compute instead of blocking the host.
+
+Parity targets: shortest edge -> int(crop*256/224) bilinear, center crop,
+1/255 rescale, ImageNet mean/std.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["preprocess_frames"]
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size",))
+def preprocess_frames(frames: jax.Array, crop_size: int = 256) -> jax.Array:
+    """(T, H, W, 3) uint8 -> (T, crop, crop, 3) float32 normalized."""
+    t, h, w, c = frames.shape
+    resize_size = int(crop_size * 256 / 224)
+    scale = resize_size / min(h, w)
+    new_h = max(crop_size, int(round(h * scale)))
+    new_w = max(crop_size, int(round(w * scale)))
+    x = frames.astype(jnp.float32)
+    x = jax.image.resize(x, (t, new_h, new_w, c), method="bilinear", antialias=False)
+    top = (new_h - crop_size) // 2
+    left = (new_w - crop_size) // 2
+    x = jax.lax.dynamic_slice(
+        x, (0, top, left, 0), (t, crop_size, crop_size, c)
+    )
+    x = x / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return (x - mean) / std
