@@ -145,7 +145,9 @@ def make_synthetic_study(
                 proj = rng.standard_normal((8, n_parcels))
                 bold = latent @ proj + 0.5 * rng.standard_normal((n_tr, n_parcels))
                 f.create_dataset(key, data=bold.astype(np.float32))
-        # test target sample numbers for the submission writer
+    # test target sample numbers for the submission writer; season-7 test
+    # timelines exist for every release subject (they need no BOLD)
+    for subject in ["sub-01", "sub-02", "sub-03", "sub-05"]:
         tsn_dir = comp / "fmri" / subject / "target_sample_number"
         tsn_dir.mkdir(parents=True, exist_ok=True)
         tsn = {f"s07{chunk}": n_tr for season, chunk, split in episodes if split == "test"}

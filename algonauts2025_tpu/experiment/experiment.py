@@ -1,0 +1,317 @@
+"""Experiment: the full train/eval/submit lifecycle (single entry point).
+
+Rebuild of reference algonauts2025/main.py:206-511.  ``Experiment(**cfg)
+.run()`` is cached by config hash (TaskInfra), builds the data pipeline,
+infers feature dims from a probe batch, trains the FmriEncoder with the
+BrainTrainer (SWA, early stopping, checkpoints), then writes metrics.csv,
+per-voxel pearson.npy and the challenge submission zip.
+
+Differences by design:
+- no Lightning/DDP: the trainer jits over an optional device mesh and XLA
+  inserts the gradient collectives (parallel.mesh);
+- JitterWindows is a loader factory (train windows re-cut every epoch with
+  +-10 s start jitter, reference callbacks.py:16-44), not a callback
+  mutating a DataLoader;
+- per-voxel pearson comes from the streaming metric state instead of a
+  1000-iteration scipy loop (reference main.py:459-477).
+"""
+
+from __future__ import annotations
+
+import logging
+import typing as tp
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pydantic
+import yaml
+
+from ..cache.task_cache import TaskInfra
+from ..core.segments import WINDOW_SECONDS
+from ..data.dataset import SegmentDataset, prefetch_to_device
+from ..models.fmri_encoder import FmriEncoderConfig
+from ..training.losses import LossConfig, build_loss
+from ..training.metrics import MetricConfig, MultidimPearsonCorrCoef, build_metric
+from ..training.optim import OptimConfig
+from ..training.trainer import BrainTrainer, TrainerConfig
+from .data import Data
+from .tracking import WandbLoggerConfig
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Experiment"]
+
+N_OUTPUT_TIMESTEPS = 100
+START_JITTER_SECONDS = 10.0
+
+
+class Experiment(pydantic.BaseModel):
+    model_config = pydantic.ConfigDict(extra="forbid")
+
+    data: Data
+    seed: int | None = 33
+    brain_model_config: FmriEncoderConfig
+    loss: LossConfig
+    optim: OptimConfig
+    metrics: list[MetricConfig] = []
+    monitor: str = "val/pearson"
+    wandb_config: WandbLoggerConfig | None = None
+    accelerator: str = "tpu"  # parity field; device selection is via JAX
+    n_epochs: int = 10
+    patience: int | None = None
+    limit_train_batches: int | None = None
+    enable_progress_bar: bool = True
+    log_every_n_steps: int | None = None
+    fast_dev_run: bool = False
+    save_checkpoints: bool = True
+    checkpoint_path: str | None = None
+    test_only: bool = False
+    n_devices: int | None = None  # data-parallel width (None = all local)
+
+    infra: TaskInfra = TaskInfra(version="1")
+
+    _trainer: tp.Any = pydantic.PrivateAttr(default=None)
+
+    def model_post_init(self, _ctx: tp.Any) -> None:
+        super().model_post_init(_ctx)
+        if self.infra.folder is None:
+            raise ValueError("infra.folder needs to be specified to save results.")
+        self.infra.bind(self)
+        if self.brain_model_config.n_subjects is None:
+            self.brain_model_config.n_subjects = self.data.n_subjects
+
+    # -- lifecycle --------------------------------------------------------
+    def run(self) -> dict[str, float]:
+        return self.infra.run_cached(self._run)
+
+    def setup_run(self) -> None:
+        folder = Path(self.infra.folder)
+        folder.mkdir(parents=True, exist_ok=True)
+        with open(folder / "config.yaml", "w") as f:
+            yaml.safe_dump(
+                self.model_dump(mode="json"),
+                f,
+                indent=4,
+                default_flow_style=False,
+                sort_keys=False,
+            )
+
+    def _mesh(self):
+        import jax
+
+        from ..parallel.mesh import get_mesh
+
+        n = self.n_devices
+        if n is None:
+            n = len(jax.devices())
+        if n <= 1:
+            return None
+        return get_mesh(n_devices=n)
+
+    def _feature_dims(self, batch) -> tuple[dict, int]:
+        feature_dims: dict[str, tuple[int, int] | None] = {}
+        for modality in ["text", "audio", "video"]:
+            if modality in batch.data:
+                arr = batch.data[modality]
+                if arr.ndim == 4:
+                    feature_dims[modality] = (arr.shape[1], arr.shape[2])
+                elif arr.ndim == 3:
+                    feature_dims[modality] = (1, arr.shape[1])
+                else:
+                    raise ValueError(
+                        f"Unexpected ndim for modality {modality}: {arr.ndim}"
+                    )
+            else:
+                feature_dims[modality] = None
+        n_outputs = batch.data["fmri"].shape[1] if "fmri" in batch.data else 1000
+        return feature_dims, n_outputs
+
+    def _run(self) -> dict[str, float]:
+        self.setup_run()
+        run_logger = None
+        if self.wandb_config is not None:
+            run_logger = self.wandb_config.build(
+                save_dir=self.infra.folder,
+                xp_config=self.model_dump(mode="json"),
+                id=f"{self.wandb_config.group}-{self.infra.uid().split('-')[-1]}",
+            )
+        if self.seed is not None:
+            np.random.seed(self.seed)
+
+        splits = ["test"] if self.test_only else ["train", "val", "test"]
+        events = self.data.get_events()
+        datasets = self.data.get_datasets(events, splits=splits)
+        probe_ds = next(iter(datasets.values()))
+        probe_batch = next(probe_ds.batches(batch_size=min(2, len(probe_ds))))
+        feature_dims, n_outputs = self._feature_dims(probe_batch)
+        logger.info("Feature dims: %s; n_outputs: %s", feature_dims, n_outputs)
+
+        model = self.brain_model_config.build(
+            feature_dims=feature_dims,
+            n_outputs=n_outputs,
+            n_output_timesteps=N_OUTPUT_TIMESTEPS,
+        )
+
+        n_subjects = self.brain_model_config.n_subjects or 8
+        metrics = {}
+        for split in ["val", "test"]:
+            for mc in self.metrics:
+                if mc.name == "MultidimPearsonCorrCoef":
+                    mc = mc.model_copy(
+                        update={"kwargs": {**mc.kwargs, "num_outputs": n_outputs}}
+                    )
+                metrics[f"{split}/{mc.log_name}"] = build_metric(mc, n_groups=n_subjects)
+
+        mesh = self._mesh()
+        trainer = BrainTrainer(
+            model=model,
+            loss_fn=build_loss(self.loss),
+            optim_config=self.optim,
+            metrics=metrics,
+            config=TrainerConfig(
+                n_epochs=self.n_epochs,
+                monitor=self.monitor,
+                monitor_mode="max" if self.monitor == "val/pearson" else "min",
+                patience=self.patience,
+                contrastive_weight=self.brain_model_config.contrastive_weight,
+                limit_train_batches=self.limit_train_batches,
+                log_every_n_steps=self.log_every_n_steps,
+                save_checkpoints=self.save_checkpoints,
+                folder=self.infra.folder,
+                seed=self.seed if self.seed is not None else 0,
+                fast_dev_run=self.fast_dev_run,
+            ),
+            mesh=mesh,
+        )
+        trainer._logger = run_logger
+        self._trainer = trainer
+
+        batch_size = self.data.batch_size
+        num_workers = self.data.num_workers
+
+        train_ds = datasets.get("train")
+        val_ds = datasets.get("val")
+        test_ds = datasets.get("test")
+        steps_per_epoch = (
+            max(1, -(-len(train_ds) // batch_size)) if train_ds is not None else 1
+        )
+        total_steps = self.n_epochs * steps_per_epoch
+        trainer.init_state(probe_batch, total_steps=total_steps)
+
+        # resume: explicit checkpoint or last.ckpt in the run folder
+        start_epoch = 0
+        ckpt = self._get_checkpoint_path()
+        if ckpt is not None:
+            start_epoch = trainer.load_checkpoint(ckpt, strict=False)
+            logger.info("Loaded checkpoint %s (next epoch %d)", ckpt, start_epoch)
+        if self.checkpoint_path:
+            start_epoch = 0  # warm start, not resume
+
+        train_events = events[events.split == "train"] if train_ds is not None else None
+        rng = np.random.default_rng(self.seed or 0)
+
+        def train_loader(epoch: int):
+            assert train_ds is not None
+            if epoch > 0:
+                jitter = float(rng.uniform(-1, 1) * START_JITTER_SECONDS)
+                self.data.recut_segments(train_ds, train_events, jitter)
+            return prefetch_to_device(
+                train_ds.batches(
+                    batch_size=batch_size,
+                    shuffle=True,
+                    seed=(self.seed or 0) + epoch,
+                    num_workers=num_workers,
+                )
+            )
+
+        def val_loader():
+            assert val_ds is not None
+            return val_ds.batches(batch_size=batch_size, num_workers=num_workers)
+
+        if not self.test_only and train_ds is not None and val_ds is not None:
+            trainer.fit(
+                train_loader,
+                val_loader,
+                steps_per_epoch=steps_per_epoch,
+                start_epoch=start_epoch,
+            )
+
+        results: dict[str, float] = {}
+        if val_ds is not None:
+            results.update(trainer.evaluate(val_loader(), split="val"))
+            # per-voxel pearson for ensemble weighting (reference pearson.npy)
+            pv = MultidimPearsonCorrCoef(num_outputs=n_outputs)
+            import jax.numpy as jnp
+
+            for preds, batch in trainer.predict(val_loader()):
+                y_true = batch.data["fmri"]
+                yp = np.swapaxes(preds, 1, 2).reshape(-1, preds.shape[1])
+                yt = np.swapaxes(np.asarray(y_true), 1, 2).reshape(-1, y_true.shape[1])
+                pv.update(jnp.asarray(yp), jnp.asarray(yt))
+            np.save(Path(self.infra.folder) / "pearson.npy", pv.per_voxel())
+
+        # metrics.csv (reference main.py:504-506)
+        import pandas as pd
+
+        all_metrics = {**trainer.callback_metrics, **results}
+        pd.DataFrame([all_metrics]).to_csv(
+            Path(self.infra.folder) / "metrics.csv", index=False
+        )
+
+        if test_ds is not None and len(test_ds):
+            self.write_submission(trainer, test_ds, batch_size)
+        if run_logger is not None:
+            run_logger.finish()
+        return {k: float(v) for k, v in all_metrics.items() if isinstance(v, (int, float))}
+
+    def _get_checkpoint_path(self) -> Path | None:
+        if self.checkpoint_path:
+            path = Path(self.checkpoint_path)
+            assert path.exists(), f"Checkpoint path {path} does not exist."
+            return path
+        last = Path(self.infra.folder) / "last.ckpt"
+        return last if last.exists() else None
+
+    # -- submission (reference callbacks.py:47-103) -----------------------
+    def write_submission(
+        self, trainer: BrainTrainer, test_ds: SegmentDataset, batch_size: int
+    ) -> None:
+        submission: dict[str, dict[str, list[np.ndarray]]] = {}
+        loader = test_ds.batches(batch_size=batch_size)
+        for preds, batch in trainer.predict(loader):
+            for i, segment in enumerate(batch.segments):
+                ev = segment.events
+                subject = ev.subject.unique()[0].split("/")[-1]
+                chunk = ev.chunk.unique()[0]
+                chunk = "s07" + chunk.split(":")[1]
+                pred = preds[i].T  # (T, n_outputs)
+                submission.setdefault(subject, {}).setdefault(chunk, []).append(pred)
+
+        root = Path(self.data.study.path) / "download" / "algonauts_2025.competitors"
+        out: dict[str, dict[str, np.ndarray]] = {}
+        for subject, chunks in submission.items():
+            samples_file = (
+                root
+                / "fmri"
+                / subject
+                / "target_sample_number"
+                / f"{subject}_friends-s7_fmri_samples.npy"
+            )
+            target = np.load(samples_file, allow_pickle=True).item()
+            out[subject] = {}
+            for chunk, n_samples in target.items():
+                if chunk not in chunks:
+                    raise ValueError(f"No predictions for {subject}/{chunk}")
+                result = np.concatenate(chunks[chunk], axis=0)
+                if len(result) < n_samples:
+                    raise ValueError(
+                        f"{len(result)} predictions for {chunk}, expected >= {n_samples}"
+                    )
+                out[subject][chunk] = result[:n_samples]
+
+        path = Path(self.infra.folder) / "submission.npy"
+        np.save(path, out)  # type: ignore[arg-type]
+        with zipfile.ZipFile(path.with_suffix(".zip"), "w") as zipf:
+            zipf.write(path, arcname=path.name)
+        logger.info("Saved submission to %s", path.with_suffix(".zip"))

@@ -1,0 +1,139 @@
+"""Default experiment configuration (reference grids/defaults.py parity).
+
+Paths come from environment variables so the same config runs on a laptop,
+a TPU VM, or a pod slice:
+- ALGONAUTS_TPU_DATA: dataset root (contains algonauts2025/download/...)
+- ALGONAUTS_TPU_SAVE: results root
+- ALGONAUTS_TPU_CACHE: feature/study cache root
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+PROJECT_NAME = "algonauts-2025"
+
+DATADIR = os.environ.get("ALGONAUTS_TPU_DATA", os.path.expanduser("~/algonauts_data"))
+BASEDIR = os.environ.get("ALGONAUTS_TPU_SAVE", os.path.expanduser("~/algonauts_runs"))
+CACHEDIR = os.environ.get(
+    "ALGONAUTS_TPU_CACHE", os.path.join(BASEDIR, "cache", PROJECT_NAME)
+)
+SAVEDIR = os.path.join(BASEDIR, "results", PROJECT_NAME)
+
+text_feature = {"name": "LLAMA3p2"}
+video_feature = {"name": "VJEPA2"}
+audio_feature = {"name": "Wav2VecBert"}
+neuro_feature = {"name": "Fmri"}
+for feature in [text_feature, video_feature, audio_feature, neuro_feature]:
+    feature["infra"] = {
+        "folder": CACHEDIR,
+        "keep_in_ram": True,
+        "mode": "cached",
+        "version": "final",
+    }
+
+default_config = {
+    "infra": {
+        "cluster": None,  # None = run in-process; "external" = pod fanout
+        "folder": SAVEDIR,
+    },
+    "data": {
+        "num_workers": 8,
+        "batch_size": 16,
+        "study": {
+            "path": str(Path(DATADIR) / "algonauts2025"),
+            "query": None,
+            "infra": {"folder": CACHEDIR},
+            "enhancers": {
+                "addtext": {"name": "AddText"},
+                "addsentence": {
+                    "name": "AddSentenceToWords",
+                    "max_unmatched_ratio": 0.05,
+                },
+                "addcontext": {
+                    "name": "AddContextToWords",
+                    "sentence_only": False,
+                    "max_context_len": 1024,
+                },
+                "removemissing": {"name": "RemoveMissing"},
+                "extractaudio": {"name": "ExtractAudioFromVideo"},
+                "chunkevents": {
+                    "name": "ChunkEvents",
+                    "event_type_to_chunk": "Sound",
+                    "max_duration": 60,
+                    "min_duration": 30,
+                },
+            },
+        },
+        "neuro": neuro_feature,
+        "text_feature": text_feature,
+        "video_feature": video_feature,
+        "audio_feature": audio_feature,
+        "layers": [0.5, 0.75, 1.0],
+        "layer_aggregation": "group_mean",
+    },
+    "wandb_config": {
+        "log_model": False,
+        "project": "algonauts-2025",
+        "group": "default",
+        "host": None,
+    },
+    "brain_model_config": {
+        "name": "FmriEncoder",
+        "modality_dropout": 0.3,
+        "feature_aggregation": "cat",
+        "layer_aggregation": "cat",
+        "subject_embedding": False,
+        "contrastive_enabled": True,
+        "contrastive_modalities": ["video"],
+        "contrastive_weight": 0.1,
+        "contrastive_temperature": 0.07,
+    },
+    "metrics": [
+        {
+            "log_name": "pearson",
+            "name": "MultidimPearsonCorrCoef",
+            "kwargs": {"num_outputs": 1000},
+        },
+        {
+            "log_name": "subj_pearson",
+            "name": "GroupedMetric",
+            "metric_name": "MultidimPearsonCorrCoef",
+            "kwargs": {"num_outputs": 1000},
+        },
+        {
+            "log_name": "retrieval_top1",
+            "name": "TopkAcc",
+            "topk": 1,
+        },
+    ],
+    "loss": {"name": "MSELoss"},
+    "optim": {
+        "optimizer": {
+            "name": "Adam",
+            "lr": 1e-4,
+            "kwargs": {"weight_decay": 0.0},
+        },
+        "scheduler": {
+            "name": "OneCycleLR",
+            "kwargs": {"max_lr": 1e-4, "pct_start": 0.1},
+        },
+    },
+    "n_epochs": 15,
+    "limit_train_batches": None,
+    "patience": None,
+    "enable_progress_bar": True,
+    "log_every_n_steps": 5,
+    "fast_dev_run": False,
+    "seed": 33,
+}
+
+
+if __name__ == "__main__":
+    from ..experiment import Experiment
+
+    exp = Experiment(**default_config)
+    exp.infra.clear_job()
+    out = exp.run()
+    print(out)

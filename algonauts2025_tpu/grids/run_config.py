@@ -1,0 +1,26 @@
+"""Run a single Experiment from a JSON config file.
+
+The entry point the external launcher (ALGONAUTS_TPU_LAUNCHER) invokes on
+each TPU slice for job-array fan-out:
+
+    python -m algonauts2025_tpu.grids.run_config /path/to/task_00000.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from ..experiment import Experiment
+from ..parallel.mesh import init_distributed
+
+
+def main(path: str) -> None:
+    init_distributed()
+    config = json.loads(open(path).read())
+    out = Experiment(**config).run()
+    print(json.dumps(out, default=str))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])

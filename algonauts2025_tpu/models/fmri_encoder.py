@@ -80,6 +80,15 @@ class FmriEncoder(nn.Module):
         hidden = cfg.hidden
         n_mod = len(self.feature_dims)
         out_dim = hidden // n_mod if cfg.feature_aggregation == "cat" else hidden
+        # the trunk width is the concatenated width (== hidden when hidden
+        # divides n_mod, as in the reference's 3072/3)
+        model_dim = out_dim * n_mod if cfg.feature_aggregation == "cat" else hidden
+        if model_dim % cfg.heads:
+            raise ValueError(
+                f"trunk width {model_dim} (hidden={hidden}, {n_mod} modalities) "
+                f"must be divisible by heads={cfg.heads}"
+            )
+        self.model_dim = model_dim
         projectors = {}
         contrastive_heads = {}
         for modality, tup in self.feature_dims.items():
@@ -95,13 +104,13 @@ class FmriEncoder(nn.Module):
         self.time_pos_embed = self.param(
             "time_pos_embed",
             nn.initializers.normal(1.0),
-            (1, MAX_POSITIONS, hidden),
+            (1, MAX_POSITIONS, model_dim),
         )
         if cfg.subject_embedding:
             assert cfg.n_subjects is not None
-            self.subject_embed = nn.Embed(cfg.n_subjects, hidden)
+            self.subject_embed = nn.Embed(cfg.n_subjects, model_dim)
         self.encoder = TransformerEncoder(
-            dim=hidden,
+            dim=model_dim,
             depth=cfg.depth,
             heads=cfg.heads,
             attn_dropout=0.0,
@@ -110,7 +119,7 @@ class FmriEncoder(nn.Module):
         )
         assert cfg.n_subjects is not None, "n_subjects must be set before build"
         self.predictor = SubjectLayers(
-            in_channels=hidden,
+            in_channels=model_dim,
             out_channels=self.n_outputs,
             n_subjects=cfg.n_subjects,
             use_bias=True,
@@ -268,13 +277,18 @@ class FmriEncoder(nn.Module):
         return losses
 
 
+def _safe_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    # eps inside the sqrt: grad is finite even for exactly-zero rows
+    # (zero-padded timesteps through zero-init bias heads hit this)
+    norm = jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + eps)
+    return x / norm
+
+
 def _info_nce(q: jax.Array, k: jax.Array, tau: float = 0.07) -> jax.Array:
     bt = q.shape[0] * q.shape[1]
     h = q.shape[2]
-    q = q.reshape(bt, h)
-    k = k.reshape(bt, h)
-    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
-    k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-8)
+    q = _safe_normalize(q.reshape(bt, h))
+    k = _safe_normalize(k.reshape(bt, h))
     logits = (q @ k.T) / tau
     labels = jnp.arange(bt)
     loss_qk = _cross_entropy(logits, labels)

@@ -29,7 +29,8 @@ class ScaleNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         g = self.param("g", lambda _k: jnp.ones(()))
         scale = x.shape[-1] ** -0.5
-        norm = jnp.linalg.norm(x, axis=-1, keepdims=True) * scale
+        # eps inside the sqrt keeps the gradient finite at zero rows
+        norm = jnp.sqrt(jnp.sum(x**2, axis=-1, keepdims=True) + self.eps**2) * scale
         return x / jnp.maximum(norm, self.eps) * g
 
 

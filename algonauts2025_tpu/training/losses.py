@@ -50,8 +50,9 @@ def pearson_loss(
     x = x - x.mean(axis=1, keepdims=True)
     y = y - y.mean(axis=1, keepdims=True)
     cov = jnp.sum(x * y, axis=1)
-    xs = jnp.sqrt(jnp.sum(x**2, axis=1))
-    ys = jnp.sqrt(jnp.sum(y**2, axis=1))
+    # eps inside the sqrt: finite gradient for constant (zero-variance) rows
+    xs = jnp.sqrt(jnp.sum(x**2, axis=1) + eps)
+    ys = jnp.sqrt(jnp.sum(y**2, axis=1) + eps)
     pcc = cov / (xs * ys + eps)
     return jnp.mean(1 - pcc)
 

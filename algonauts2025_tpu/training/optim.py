@@ -66,17 +66,28 @@ class SchedulerConfig(pydantic.BaseModel):
     def build(self, base_lr: float, total_steps: int) -> optax.Schedule:
         kw = dict(self.kwargs)
         if self.name == "OneCycleLR":
+            # hand-rolled (optax's onecycle NaNs when a phase rounds to zero
+            # steps, e.g. smoke runs with 4 total steps and pct_start=0.1)
+            import jax.numpy as jnp
+
             max_lr = kw.get("max_lr", base_lr)
             pct_start = kw.get("pct_start", 0.3)
             div_factor = kw.get("div_factor", 25.0)
             final_div_factor = kw.get("final_div_factor", 1e4)
-            return optax.cosine_onecycle_schedule(
-                transition_steps=max(1, total_steps),
-                peak_value=max_lr,
-                pct_start=pct_start,
-                div_factor=div_factor,
-                final_div_factor=final_div_factor,
-            )
+            total = max(2, total_steps)
+            warmup = min(max(1, round(total * pct_start)), total - 1)
+            init = max_lr / div_factor
+            final = init / final_div_factor
+
+            def schedule(step):
+                step = jnp.minimum(step, total)
+                up = jnp.clip(step / warmup, 0.0, 1.0)
+                lr_up = init + (max_lr - init) * 0.5 * (1 - jnp.cos(jnp.pi * up))
+                down = jnp.clip((step - warmup) / (total - warmup), 0.0, 1.0)
+                lr_down = final + (max_lr - final) * 0.5 * (1 + jnp.cos(jnp.pi * down))
+                return jnp.where(step < warmup, lr_up, lr_down)
+
+            return schedule
         if self.name == "CosineAnnealingLR":
             t_max = kw.get("T_max", total_steps)
             eta_min = kw.get("eta_min", 0.0)

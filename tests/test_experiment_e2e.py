@@ -1,0 +1,114 @@
+"""End-to-end Experiment on a synthetic study (text-only, tiny backbones)."""
+
+import numpy as np
+import pytest
+
+from algonauts2025_tpu.config import ConfDict
+from algonauts2025_tpu.data.synthetic import make_synthetic_study
+from algonauts2025_tpu.experiment import Experiment
+
+
+def _config(tmp_path, study_path):
+    folder = str(tmp_path / "run")
+    cache = str(tmp_path / "cache")
+    return ConfDict(
+        {
+            "infra": {"folder": folder, "mode": "force"},
+            "data": {
+                "num_workers": 0,
+                "batch_size": 4,
+                "study": {
+                    "path": str(study_path),
+                    "query": None,
+                    "infra": {"folder": cache},
+                    "enhancers": [
+                        {"name": "AddText"},
+                        {"name": "AddSentenceToWords", "max_unmatched_ratio": 0.3},
+                        {"name": "AddContextToWords", "sentence_only": False,
+                         "max_context_len": 64},
+                        {"name": "RemoveMissing"},
+                    ],
+                },
+                "neuro": {"name": "Fmri", "infra": {"folder": cache}},
+                "text_feature": {
+                    "name": "LLAMA3p2",
+                    "model_name": "tiny-random",
+                    "infra": {"folder": cache},
+                },
+                "layers": [0.5, 1.0],
+                "layer_aggregation": "group_mean",
+            },
+            "brain_model_config": {
+                "name": "FmriEncoder",
+                "hidden": 96,
+                "depth": 1,
+                "heads": 4,
+                "modality_dropout": 0.0,
+            },
+            "metrics": [
+                {"log_name": "pearson", "name": "MultidimPearsonCorrCoef"},
+                {"log_name": "subj_pearson", "name": "GroupedMetric",
+                 "metric_name": "MultidimPearsonCorrCoef"},
+            ],
+            "loss": {"name": "MSELoss"},
+            "optim": {
+                "optimizer": {"name": "Adam", "lr": 1e-3},
+                "scheduler": {"name": "OneCycleLR",
+                              "kwargs": {"max_lr": 1e-3, "pct_start": 0.1}},
+            },
+            "n_epochs": 2,
+            "seed": 33,
+            "wandb_config": None,
+            "save_checkpoints": True,
+        }
+    ).to_dict()
+
+
+def test_experiment_end_to_end(tmp_path):
+    study_path = make_synthetic_study(
+        tmp_path / "data", with_video=False, n_parcels=32, duration=40.0
+    )
+    cfg = _config(tmp_path, study_path)
+    exp = Experiment(**cfg)
+    out = exp.run()
+    assert np.isfinite(out["train/loss"])
+    assert np.isfinite(out["val/pearson"])
+    folder = tmp_path / "run"
+    for artifact in ["config.yaml", "metrics.csv", "pearson.npy",
+                     "submission.zip", "last.ckpt"]:
+        assert (folder / artifact).exists(), artifact
+    pearson = np.load(folder / "pearson.npy")
+    assert pearson.shape == (32,)
+    sub = np.load(folder / "submission.npy", allow_pickle=True).item()
+    assert set(sub) == {"sub-01", "sub-02", "sub-03", "sub-05"}
+    for chunks in sub.values():
+        for arr in chunks.values():
+            assert np.isfinite(arr).all()
+
+    # task cache: rerun with mode=cached returns without recomputing
+    cfg2 = dict(cfg)
+    cfg2["infra"] = {**cfg["infra"], "mode": "cached"}
+    exp2 = Experiment(**cfg2)
+    out2 = exp2.run()
+    assert out2 is not None and exp2._trainer is None  # served from cache
+
+
+def test_experiment_average_submissions(tmp_path):
+    """Two runs -> grid folder -> averaged submission."""
+    from algonauts2025_tpu.grids.average_submissions import average_submissions
+
+    study_path = make_synthetic_study(
+        tmp_path / "data", with_video=False, n_parcels=16, duration=40.0
+    )
+    grid_dir = tmp_path / "grid"
+    for seed in [1, 2]:
+        cfg = _config(tmp_path, study_path)
+        cfg["seed"] = seed
+        cfg["infra"] = {"folder": str(grid_dir / f"run{seed}"), "mode": "force"}
+        cfg["n_epochs"] = 1
+        Experiment(**cfg).run()
+    out = average_submissions(grid_dir, weigh_by_score=True, per_voxel_weights=True,
+                              temperature=0.3)
+    assert out.exists()
+    avg = np.load(grid_dir / "submission.npy", allow_pickle=True).item()
+    assert set(avg) == {"sub-01", "sub-02", "sub-03", "sub-05"}
