@@ -14,3 +14,8 @@ Layers (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+from . import runtime as _runtime
+
+_runtime.enable_compilation_cache()
+_runtime.force_cpu_if_requested()

@@ -52,14 +52,14 @@ class JaxAudioBackbone(AudioBackbone):
 
         from ..ops.mel import log_mel_features
 
-        def fn(wav):
+        def fn(params, wav):
             feats = log_mel_features(wav)[None]  # (1, T50, 160)
-            return self.model.apply({"params": self.params}, feats)
+            return self.model.apply({"params": params}, feats)
 
-        self._fn = jax.jit(fn)
+        self._fn = jax.jit(fn)  # params passed as argument, not constant
 
     def hidden_states(self, wav_16k: np.ndarray) -> np.ndarray:
-        out = self._fn(wav_16k)  # (L+1, 1, T50, D)
+        out = self._fn(self.params, wav_16k)  # (L+1, 1, T50, D)
         return np.asarray(out)[:, 0]
 
 
@@ -84,9 +84,9 @@ class TinyAudioBackbone(JaxAudioBackbone):
             dtype=jnp.float32,
         )
         model = Wav2VecBertBackbone(cfg)
-        params = model.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, 16, cfg.input_dim))
-        )["params"]
+        params = jax.jit(
+            lambda k: model.init(k, jnp.zeros((1, 16, cfg.input_dim)))["params"]
+        )(jax.random.PRNGKey(seed))
         super().__init__(model, params)
 
 

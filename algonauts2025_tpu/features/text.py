@@ -79,8 +79,10 @@ class JaxTextBackbone(TextBackbone):
         self.params = params
         self.tokenizer = tokenizer
         self.pad_id = pad_id
+        # params are jit *arguments* (captured constants would be baked
+        # into the executable: GBs of weights, brutal compile times)
         self._fn = jax.jit(
-            lambda ids, mask: self.model.apply({"params": self.params}, ids, mask)
+            lambda params, ids, mask: self.model.apply({"params": params}, ids, mask)
         )
 
     def encode(self, texts: list[str], max_len: int = 1024) -> tuple[np.ndarray, np.ndarray]:
@@ -103,7 +105,7 @@ class JaxTextBackbone(TextBackbone):
         return ids, mask
 
     def hidden_states(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
-        out = self._fn(ids, mask)
+        out = self._fn(self.params, ids, mask)
         return np.asarray(out)
 
 
@@ -128,9 +130,9 @@ class TinyTextBackbone(JaxTextBackbone):
             dtype=jnp.float32,
         )
         model = LlamaBackbone(cfg)
-        params = model.init(
-            jax.random.PRNGKey(seed), jnp.zeros((1, 8), jnp.int32)
-        )["params"]
+        params = jax.jit(
+            lambda k: model.init(k, jnp.zeros((1, 8), jnp.int32))["params"]
+        )(jax.random.PRNGKey(seed))
         super().__init__(model, params, HashTokenizer(vocab), pad_id=0)
 
 

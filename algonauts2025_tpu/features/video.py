@@ -51,16 +51,16 @@ class JaxVideoBackbone(VideoBackbone):
 
         from ..ops.video_prep import preprocess_frames
 
-        def fn(frames):  # (B, T, H, W, 3) uint8
+        def fn(params, frames):  # (B, T, H, W, 3) uint8
             pixels = jax.vmap(lambda f: preprocess_frames(f, self.crop_size))(frames)
-            states = self.model.apply({"params": self.params}, pixels)
+            states = self.model.apply({"params": params}, pixels)
             # (L+1, B, N, D) -> (B, L+1, D): mean over tokens
             return jnp_mean_tokens(states)
 
-        self._fn = jax.jit(fn)
+        self._fn = jax.jit(fn)  # params passed as argument, not constant
 
     def encode_windows(self, windows: np.ndarray) -> np.ndarray:
-        return np.asarray(self._fn(windows))
+        return np.asarray(self._fn(self.params, windows))
 
 
 def jnp_mean_tokens(states):
@@ -97,10 +97,11 @@ class TinyVideoBackbone(JaxVideoBackbone):
             dtype=jnp.float32,
         )
         model = VJEPA2Backbone(cfg)
-        params = model.init(
-            jax.random.PRNGKey(seed),
-            jnp.zeros((1, n_frames, crop_size, crop_size, 3)),
-        )["params"]
+        params = jax.jit(
+            lambda k: model.init(
+                k, jnp.zeros((1, n_frames, crop_size, crop_size, 3))
+            )["params"]
+        )(jax.random.PRNGKey(seed))
         super().__init__(model, params, n_frames=n_frames, crop_size=crop_size)
 
 

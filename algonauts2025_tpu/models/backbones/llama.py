@@ -98,8 +98,29 @@ class LlamaMlp(nn.Module):
         return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
 
 
+class LlamaLayer(nn.Module):
+    """One decoder layer; scan-compatible (carry=(x, cos, sin, mask))."""
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, carry, _unused):
+        x, cos, sin, mask = carry
+        cfg = self.cfg
+        h = RMSNorm(cfg.rms_eps, name="input_norm")(x)
+        x = x + LlamaAttention(cfg, name="attn")(h, cos, sin, mask)
+        h = RMSNorm(cfg.rms_eps, name="post_norm")(x)
+        x = x + LlamaMlp(cfg, name="mlp")(h)
+        # emit the per-layer hidden state (fp32) for the (L+1) stack
+        return (x, cos, sin, mask), x.astype(jnp.float32)
+
+
 class LlamaBackbone(nn.Module):
-    """Frozen decoder; returns all hidden states (L+1, B, T, D)."""
+    """Frozen decoder; returns all hidden states (L+1, B, T, D).
+
+    Layers run under nn.scan with stacked (L, ...) params: one compiled
+    layer body regardless of depth (compile latency matters at 3B scale).
+    """
 
     cfg: LlamaConfig
 
@@ -127,21 +148,21 @@ class LlamaBackbone(nn.Module):
         emb = jnp.concatenate([ang, ang], axis=-1)  # (B, T, hd)
         cos, sin = jnp.cos(emb), jnp.sin(emb)
 
-        def rope(x_heads, c, s):
-            return x_heads * c[:, None] + _rotate_half(x_heads) * s[:, None]
-
-        states = [x]
-        for i in range(cfg.num_layers):
-            h = RMSNorm(cfg.rms_eps, name=f"layers_{i}_input_norm")(x)
-            # inline attention with per-batch rope
-            attn = LlamaAttention(cfg, name=f"layers_{i}_attn")(h, cos, sin, mask)
-            x = x + attn
-            h = RMSNorm(cfg.rms_eps, name=f"layers_{i}_post_norm")(x)
-            x = x + LlamaMlp(cfg, name=f"layers_{i}_mlp")(h)
-            states.append(x)
+        ScannedLayer = nn.scan(
+            LlamaLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+        )
+        (x, _, _, _), layer_states = ScannedLayer(cfg, name="layers")(
+            (x, cos, sin, mask), None
+        )
         x = RMSNorm(cfg.rms_eps, name="final_norm")(x)
-        states[-1] = x  # HF returns the final-normed state as the last layer
-        return jnp.stack([s.astype(jnp.float32) for s in states])
+        # HF parity: [embeddings, layer_1..layer_{L-1}, final_norm(layer_L)]
+        head = embed(input_ids).astype(jnp.float32)[None]
+        full = jnp.concatenate([head, layer_states], axis=0)
+        full = full.at[-1].set(x.astype(jnp.float32))
+        return full
 
 
 class LlamaAttention(nn.Module):
@@ -183,37 +204,47 @@ class LlamaAttention(nn.Module):
 
 
 def params_from_hf(state_dict: tp.Mapping[str, tp.Any], cfg: LlamaConfig) -> dict:
-    """Convert an HF LlamaModel state dict (torch tensors or arrays) to
-    this module's param pytree."""
+    """Convert an HF LlamaModel state dict to this module's param pytree.
 
-    def arr(name, transpose=False):
+    Per-layer weights are stacked along a leading (num_layers,) axis to
+    match the scanned layer stack.
+    """
+
+    def arr(name, transpose=False, dtype=None):
         w = state_dict[name]
         w = np.asarray(w.to(dtype=_torch_f32()) if hasattr(w, "to") else w, dtype=np.float32)
         if transpose:
             w = w.T
-        return jnp.asarray(w, dtype=cfg.dtype)
+        return jnp.asarray(w, dtype=dtype or cfg.dtype)
 
-    params: dict[str, tp.Any] = {
-        "embed_tokens": {"embedding": arr("embed_tokens.weight")},
-        "final_norm": {"weight": arr("norm.weight").astype(jnp.float32)},
-    }
-    for i in range(cfg.num_layers):
-        p = f"layers.{i}."
-        params[f"layers_{i}_input_norm"] = {
-            "weight": arr(p + "input_layernorm.weight").astype(jnp.float32)
-        }
-        params[f"layers_{i}_post_norm"] = {
-            "weight": arr(p + "post_attention_layernorm.weight").astype(jnp.float32)
-        }
-        params[f"layers_{i}_attn"] = {
-            n: {"kernel": arr(p + f"self_attn.{n}.weight", transpose=True)}
+    def stacked(fmt, transpose=False, dtype=None):
+        return jnp.stack(
+            [arr(fmt.format(i=i), transpose=transpose, dtype=dtype) for i in range(cfg.num_layers)]
+        )
+
+    layers: dict[str, tp.Any] = {
+        "input_norm": {
+            "weight": stacked("layers.{i}.input_layernorm.weight", dtype=jnp.float32)
+        },
+        "post_norm": {
+            "weight": stacked(
+                "layers.{i}.post_attention_layernorm.weight", dtype=jnp.float32
+            )
+        },
+        "attn": {
+            n: {"kernel": stacked(f"layers.{{i}}.self_attn.{n}.weight", transpose=True)}
             for n in ["q_proj", "k_proj", "v_proj", "o_proj"]
-        }
-        params[f"layers_{i}_mlp"] = {
-            n: {"kernel": arr(p + f"mlp.{n}.weight", transpose=True)}
+        },
+        "mlp": {
+            n: {"kernel": stacked(f"layers.{{i}}.mlp.{n}.weight", transpose=True)}
             for n in ["gate_proj", "up_proj", "down_proj"]
-        }
-    return params
+        },
+    }
+    return {
+        "embed_tokens": {"embedding": arr("embed_tokens.weight")},
+        "final_norm": {"weight": arr("norm.weight", dtype=jnp.float32)},
+        "layers": layers,
+    }
 
 
 def _torch_f32():

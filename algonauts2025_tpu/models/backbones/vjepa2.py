@@ -113,8 +113,30 @@ class VJEPA2Attention(nn.Module):
         return dense("proj")(out)
 
 
+class VJEPA2Block(nn.Module):
+    """Pre-LN ViT block; scan-compatible (carry=x)."""
+
+    cfg: VJEPA2Config
+
+    @nn.compact
+    def __call__(self, x, _unused):
+        cfg = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name)
+        x = x + VJEPA2Attention(cfg, name="attn")(ln("norm1")(x))
+        h = ln("norm2")(x)
+        h = nn.Dense(int(cfg.hidden_size * cfg.mlp_ratio), dtype=cfg.dtype, name="fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fc2")(h)
+        x = x + h
+        return x, x.astype(jnp.float32)
+
+
 class VJEPA2Backbone(nn.Module):
-    """Frozen encoder; input (B, T, H, W, 3) normalized pixels."""
+    """Frozen encoder; input (B, T, H, W, 3) normalized pixels.
+
+    Blocks run under nn.scan with stacked (L, ...) params: one compiled
+    block regardless of depth (ViT-G is 40 layers).
+    """
 
     cfg: VJEPA2Config
 
@@ -143,25 +165,23 @@ class VJEPA2Backbone(nn.Module):
             + bias
         ).astype(cfg.dtype)
 
-        states = [x]
-        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name)
-        for i in range(cfg.num_layers):
-            x = x + VJEPA2Attention(cfg, name=f"layers_{i}_attn")(ln(f"layers_{i}_norm1")(x))
-            h = ln(f"layers_{i}_norm2")(x)
-            h = nn.Dense(
-                int(cfg.hidden_size * cfg.mlp_ratio), dtype=cfg.dtype, name=f"layers_{i}_fc1"
-            )(h)
-            h = nn.gelu(h, approximate=False)
-            h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name=f"layers_{i}_fc2")(h)
-            x = x + h
-            states.append(x)
-        x = ln("final_norm")(x)
-        states[-1] = x
-        return jnp.stack([state.astype(jnp.float32) for state in states])
+        head = x.astype(jnp.float32)[None]
+        ScannedBlock = nn.scan(
+            VJEPA2Block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+        )
+        x, layer_states = ScannedBlock(cfg, name="layers")(x, None)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_norm")(x)
+        full = jnp.concatenate([head, layer_states], axis=0)
+        full = full.at[-1].set(x.astype(jnp.float32))
+        return full
 
 
 def params_from_hf(state_dict: tp.Mapping[str, tp.Any], cfg: VJEPA2Config) -> dict:
-    """Convert an HF VJEPA2Model encoder state dict to this param pytree."""
+    """Convert an HF VJEPA2Model encoder state dict to this param pytree,
+    stacking per-layer weights along a leading (num_layers,) axis."""
 
     def arr(name, transpose=False):
         w = state_dict[name]
@@ -182,21 +202,27 @@ def params_from_hf(state_dict: tp.Mapping[str, tp.Any], cfg: VJEPA2Config) -> di
     conv_w = arr(pref + "embeddings.patch_embeddings.proj.weight")
     d = conv_w.shape[0]
     kernel = np.transpose(np.asarray(conv_w), (2, 3, 4, 1, 0)).reshape(-1, d)
-    params: dict[str, tp.Any] = {
+
+    def layer_params(i: int) -> dict:
+        p = pref + f"layer.{i}."
+        return {
+            "norm1": layernorm(p + "norm1"),
+            "norm2": layernorm(p + "norm2"),
+            "attn": {
+                "query": linear(p + "attention.query"),
+                "key": linear(p + "attention.key"),
+                "value": linear(p + "attention.value"),
+                "proj": linear(p + "attention.proj"),
+            },
+            "fc1": linear(p + "mlp.fc1"),
+            "fc2": linear(p + "mlp.fc2"),
+        }
+
+    all_layers = [layer_params(i) for i in range(cfg.num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *all_layers)
+    return {
         "patch_kernel": jnp.asarray(kernel),
         "patch_bias": arr(pref + "embeddings.patch_embeddings.proj.bias"),
         "final_norm": layernorm(pref + "layernorm"),
+        "layers": stacked,
     }
-    for i in range(cfg.num_layers):
-        p = pref + f"layer.{i}."
-        params[f"layers_{i}_norm1"] = layernorm(p + "norm1")
-        params[f"layers_{i}_norm2"] = layernorm(p + "norm2")
-        params[f"layers_{i}_attn"] = {
-            "query": linear(p + "attention.query"),
-            "key": linear(p + "attention.key"),
-            "value": linear(p + "attention.value"),
-            "proj": linear(p + "attention.proj"),
-        }
-        params[f"layers_{i}_fc1"] = linear(p + "mlp.fc1")
-        params[f"layers_{i}_fc2"] = linear(p + "mlp.fc2")
-    return params

@@ -145,8 +145,24 @@ class ConformerLayer(nn.Module):
         return ln("final_layer_norm")(x)
 
 
+class ScannedConformerLayer(nn.Module):
+    """scan wrapper: carry=(x, attn_bias, pad_mask)."""
+
+    cfg: Wav2VecBertConfig
+
+    @nn.compact
+    def __call__(self, carry, _unused):
+        x, attn_bias, pad_mask = carry
+        x = ConformerLayer(self.cfg, name="layer")(x, attn_bias, pad_mask)
+        return (x, attn_bias, pad_mask), x.astype(jnp.float32)
+
+
 class Wav2VecBertBackbone(nn.Module):
-    """Frozen conformer; returns all hidden states (L+1, B, T, D)."""
+    """Frozen conformer; returns all hidden states (L+1, B, T, D).
+
+    Layers run under nn.scan with stacked (L, ...) params so XLA compiles
+    one conformer block regardless of depth.
+    """
 
     cfg: Wav2VecBertConfig
 
@@ -159,23 +175,33 @@ class Wav2VecBertBackbone(nn.Module):
             input_features
         )
         x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fp_projection")(x)
-        attn_bias = None
-        pad_mask = None
+        b, t, _ = x.shape
         if attention_mask is not None:
             pad_mask = attention_mask.astype(bool)
             x = jnp.where(pad_mask[..., None], x, 0.0)
             attn_bias = jnp.where(pad_mask[:, None, None, :], 0.0, -1e30)
-        states = [x]
-        for i in range(cfg.num_layers):
-            x = ConformerLayer(cfg, name=f"layers_{i}")(x, attn_bias, pad_mask)
-            states.append(x)
-        return jnp.stack([s.astype(jnp.float32) for s in states])
+        else:
+            # static all-ones mask keeps the scan carry structure uniform
+            pad_mask = jnp.ones((b, t), bool)
+            attn_bias = jnp.zeros((b, 1, 1, t))
+        ScannedLayer = nn.scan(
+            ScannedConformerLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+        )
+        head = x.astype(jnp.float32)[None]
+        (x, _, _), layer_states = ScannedLayer(cfg, name="layers")(
+            (x, attn_bias, pad_mask), None
+        )
+        return jnp.concatenate([head, layer_states], axis=0)
 
 
 def params_from_hf(
     state_dict: tp.Mapping[str, tp.Any], cfg: Wav2VecBertConfig
 ) -> dict:
-    """Convert an HF Wav2Vec2BertModel state dict to this param pytree."""
+    """Convert an HF Wav2Vec2BertModel state dict to this param pytree,
+    stacking per-layer weights along a leading (num_layers,) axis."""
 
     def arr(name, transpose=False):
         w = state_dict[name]
@@ -193,11 +219,7 @@ def params_from_hf(
     def layernorm(prefix):
         return {"scale": arr(prefix + ".weight"), "bias": arr(prefix + ".bias")}
 
-    params: dict[str, tp.Any] = {
-        "fp_layer_norm": layernorm("feature_projection.layer_norm"),
-        "fp_projection": linear("feature_projection.projection"),
-    }
-    for i in range(cfg.num_layers):
+    def layer_params(i: int) -> dict:
         p = f"encoder.layers.{i}."
         layer: dict[str, tp.Any] = {}
         for ff in ["ffn1", "ffn2"]:
@@ -213,19 +235,23 @@ def params_from_hf(
         }
         attn["distance_embedding"] = arr(p + "self_attn.distance_embedding.weight")
         layer["self_attn"] = attn
-        # conv module: torch conv1d weight (out, in/groups, k)
         pw1 = arr(p + "conv_module.pointwise_conv1.weight")  # (2H, H, 1)
         pw2 = arr(p + "conv_module.pointwise_conv2.weight")  # (H, H, 1)
         dw = arr(p + "conv_module.depthwise_conv.weight")  # (H, 1, K)
         layer["conv_module"] = {
             "layer_norm": layernorm(p + "conv_module.layer_norm"),
             "depthwise_layer_norm": layernorm(p + "conv_module.depthwise_layer_norm"),
-            # as Dense kernels (in, out)
             "pointwise_conv1": {"kernel": pw1[:, :, 0].T},
             "pointwise_conv2": {"kernel": pw2[:, :, 0].T},
-            # flax Conv kernel: (k, in/groups, out)
             "depthwise_conv": {"kernel": jnp.transpose(dw, (2, 1, 0))},
         }
         layer["final_layer_norm"] = layernorm(p + "final_layer_norm")
-        params[f"layers_{i}"] = layer
-    return params
+        return layer
+
+    all_layers = [layer_params(i) for i in range(cfg.num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *all_layers)
+    return {
+        "fp_layer_norm": layernorm("feature_projection.layer_norm"),
+        "fp_projection": linear("feature_projection.projection"),
+        "layers": {"layer": stacked},
+    }

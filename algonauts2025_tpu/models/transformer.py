@@ -4,8 +4,12 @@ Architectural equivalent of the reference's x_transformers Encoder config
 (reference modeling_utils/models/transformer.py:16-61: 8 heads, rotary
 positions, ScaleNorm, ff_mult 4, scaled residuals, flash off).  Attention
 runs through ops.attention.fused_attention — the Pallas full-VMEM kernel
-on TPU.  All matmuls carry ``preferred_element_type`` fp32 accumulation so
-the trunk can run bf16 activations without drift.
+on TPU.
+
+Depth is expressed as ``nn.scan`` over a single block with stacked
+(depth, ...) params: XLA compiles ONE layer body regardless of depth,
+which cuts trunk compile time ~depth-fold (compile latency is a real
+constraint on TPU) while the runtime schedule is identical.
 """
 
 from __future__ import annotations
@@ -80,8 +84,50 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim)(x)
 
 
+class EncoderBlock(nn.Module):
+    """Pre-norm block: x = x*res_scale + branch(norm(x)), attn then FF."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    rotary_dim: int
+    ff_mult: int
+    attn_dropout: float
+    ff_dropout: float
+    use_scalenorm: bool
+    scale_residual: bool
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 mask: jax.Array | None = None) -> jax.Array:
+        norm_cls = ScaleNorm if self.use_scalenorm else nn.LayerNorm
+        res_a = (
+            self.param("res_scale_attn", lambda _k: jnp.ones(()))
+            if self.scale_residual
+            else 1.0
+        )
+        branch = SelfAttention(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            rotary_dim=self.rotary_dim,
+            dropout=self.attn_dropout,
+            name="attn",
+        )(norm_cls(name="attn_norm")(x), deterministic, mask)
+        x = x * res_a + branch
+        res_f = (
+            self.param("res_scale_ff", lambda _k: jnp.ones(()))
+            if self.scale_residual
+            else 1.0
+        )
+        branch = FeedForward(
+            dim=self.dim, mult=self.ff_mult, dropout=self.ff_dropout, name="ff"
+        )(norm_cls(name="ff_norm")(x), deterministic)
+        return x * res_f + branch
+
+
 class TransformerEncoder(nn.Module):
-    """Pre-norm encoder: x += branch(norm(x)) with scaled residual streams."""
+    """Depth-scanned pre-norm encoder with final norm."""
 
     dim: int
     depth: int = 8
@@ -101,47 +147,79 @@ class TransformerEncoder(nn.Module):
         dh = self.dim_head or self.dim // self.heads
         rotary_dim = max(dh // 2, 32) if self.rotary_pos_emb else 0
         rotary_dim = min(rotary_dim, dh)
-        norm_cls = ScaleNorm if self.use_scalenorm else nn.LayerNorm
         mask = None
         if self.causal:
             t = x.shape[1]
             mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
 
-        attn_cls = SelfAttention
-        ff_cls = FeedForward
+        block_cls = EncoderBlock
         if self.remat:
-            attn_cls = nn.remat(SelfAttention, static_argnums=(2,))
-            ff_cls = nn.remat(FeedForward, static_argnums=(2,))
+            block_cls = nn.remat(EncoderBlock, static_argnums=(2,))
 
-        for i in range(self.depth):
-            res_scale_a = (
-                self.param(f"res_scale_attn_{i}", lambda _k: jnp.ones(()))
-                if self.scale_residual
-                else 1.0
-            )
-            branch = attn_cls(
-                dim=self.dim,
-                heads=self.heads,
-                dim_head=dh,
-                rotary_dim=rotary_dim,
-                dropout=self.attn_dropout,
-                name=f"attn_{i}",
-            )(norm_cls(name=f"attn_norm_{i}")(x), deterministic, mask)
-            x = x * res_scale_a + branch
-
-            res_scale_f = (
-                self.param(f"res_scale_ff_{i}", lambda _k: jnp.ones(()))
-                if self.scale_residual
-                else 1.0
-            )
-            branch = ff_cls(
-                dim=self.dim,
-                mult=self.ff_mult,
-                dropout=self.ff_dropout,
-                name=f"ff_{i}",
-            )(norm_cls(name=f"ff_norm_{i}")(x), deterministic)
-            x = x * res_scale_f + branch
+        del block_cls, mask  # masking/remat handled inside the wrapper
+        ScannedBlock = nn.scan(
+            _BlockWrapper,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.depth,
+        )
+        x, _ = ScannedBlock(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=dh,
+            rotary_dim=rotary_dim,
+            ff_mult=self.ff_mult,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            use_scalenorm=self.use_scalenorm,
+            scale_residual=self.scale_residual,
+            deterministic=deterministic,
+            causal=self.causal,
+            remat=self.remat,
+            name="blocks",
+        )(x, None)
+        norm_cls = ScaleNorm if self.use_scalenorm else nn.LayerNorm
         return norm_cls(name="final_norm")(x)
+
+
+class _BlockWrapper(nn.Module):
+    """scan-compatible wrapper: (carry, _) -> (carry, None)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    rotary_dim: int
+    ff_mult: int
+    attn_dropout: float
+    ff_dropout: float
+    use_scalenorm: bool
+    scale_residual: bool
+    deterministic: bool
+    causal: bool
+    remat: bool
+
+    @nn.compact
+    def __call__(self, x: jax.Array, _unused: tp.Any) -> tuple[jax.Array, None]:
+        mask = None
+        if self.causal:
+            t = x.shape[1]
+            mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        block_cls = EncoderBlock
+        if self.remat:
+            block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
+        x = block_cls(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            rotary_dim=self.rotary_dim,
+            ff_mult=self.ff_mult,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            use_scalenorm=self.use_scalenorm,
+            scale_residual=self.scale_residual,
+            name="block",
+        )(x, self.deterministic, mask)
+        return x, None
 
 
 class TransformerEncoderConfig(pydantic.BaseModel):

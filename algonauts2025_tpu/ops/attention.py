@@ -132,7 +132,11 @@ def fused_attention(
     requires no mask (trunk windows are fixed-length).  Any masked call
     routes to the XLA path.
     """
+    import os
+
     use_pallas = force_pallas
+    if os.environ.get("ALGONAUTS_TPU_NO_PALLAS"):
+        use_pallas = False
     if use_pallas is None:
         t, dh = q.shape[-2], q.shape[-1]
         vmem_bytes = (_round_up(t, 128) ** 2 + 4 * _round_up(t, 128) * _round_up(dh, 128)) * 4

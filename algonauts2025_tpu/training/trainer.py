@@ -116,24 +116,31 @@ class BrainTrainer:
         if self._has_contrastive:
             # touch the contrastive heads so their params exist
             init_kwargs["method"] = "forward_with_contrastive"
-        variables = self.model.init(
-            {"params": rng, "dropout": rng, "modality": rng},
-            batch,
-            training=False,
-            **init_kwargs,
-        )
-        params = variables["params"]
-        n_params = sum(x.size for x in jax.tree.leaves(params))
+
+        # everything under one jit: eager dispatch is pathologically slow on
+        # remotely-attached devices (each primitive is a round trip)
+        def _init(rng, batch):
+            variables = self.model.init(
+                {"params": rng, "dropout": rng, "modality": rng},
+                batch,
+                training=False,
+                **init_kwargs,
+            )
+            params = variables["params"]
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                opt_state=self.tx.init(params),
+                # zeros (not an alias of params): the first SWA merge at
+                # count 0 yields params exactly, and donation needs
+                # distinct buffers
+                swa_params=jax.tree.map(jnp.zeros_like, params),
+                swa_count=jnp.zeros((), jnp.int32),
+            )
+
+        state = jax.jit(_init)(rng, batch)
+        n_params = sum(x.size for x in jax.tree.leaves(state.params))
         logger.info("Total parameters: %d", n_params)
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            opt_state=self.tx.init(params),
-            # zeros (not an alias of params): the first SWA merge at count 0
-            # yields params exactly, and donation needs distinct buffers
-            swa_params=jax.tree.map(jnp.zeros_like, params),
-            swa_count=jnp.zeros((), jnp.int32),
-        )
         if self.mesh is not None:
             state = jax.device_put(state, replicated(self.mesh))
         self.state = state
