@@ -58,9 +58,33 @@ class JaxAudioBackbone(AudioBackbone):
 
         self._fn = jax.jit(fn)  # params passed as argument, not constant
 
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("n_out",))
+        def fn_2hz(params, wav, n_out):
+            # nearest-resample ON DEVICE: only the (L+1, D, n_out) pooled
+            # stack crosses the wire, not the full 50 Hz hidden stack
+            import jax.numpy as jnp
+
+            states = fn(params, wav)[:, 0]  # (L+1, T50, D)
+            t50 = states.shape[1]
+            idx = jnp.clip(
+                jnp.floor(jnp.arange(n_out) * (t50 / n_out)).astype(jnp.int32),
+                0,
+                t50 - 1,
+            )
+            out = jnp.take(states, idx, axis=1)  # (L+1, n_out, D)
+            return jnp.swapaxes(out, 1, 2)  # (L+1, D, n_out)
+
+        self._fn_2hz = fn_2hz
+
     def hidden_states(self, wav_16k: np.ndarray) -> np.ndarray:
         out = self._fn(self.params, wav_16k)  # (L+1, 1, T50, D)
         return np.asarray(out)[:, 0]
+
+    def hidden_states_2hz(self, wav_16k: np.ndarray, n_out: int) -> np.ndarray:
+        """(L+1, D, n_out) hidden stack resampled to the output grid."""
+        return np.asarray(self._fn_2hz(self.params, wav_16k, n_out=n_out))
 
 
 class TinyAudioBackbone(JaxAudioBackbone):
@@ -184,11 +208,14 @@ class Wav2VecBert(LayeredFeatureBase):
             wav = (wav - wav.mean()) / (1e-8 + wav.std())
             if int(sfreq) != TARGET_SR:
                 wav = np.asarray(resample_poly(jnp.asarray(wav), int(sfreq), TARGET_SR))
-            states = backbone.hidden_states(wav)  # (L+1, T50, D)
-            latents = np.transpose(states, (0, 2, 1))  # (L+1, D, T50)
-            timepoints = Frequency(OUTPUT_HZ).to_ind(event.duration)
-            if timepoints != latents.shape[-1]:
-                latents = nearest_resample(latents, max(1, timepoints))
+            timepoints = max(1, Frequency(OUTPUT_HZ).to_ind(event.duration))
+            if hasattr(backbone, "hidden_states_2hz"):
+                latents = backbone.hidden_states_2hz(wav, timepoints)
+            else:
+                states = backbone.hidden_states(wav)  # (L+1, T50, D)
+                latents = np.transpose(states, (0, 2, 1))  # (L+1, D, T50)
+                if timepoints != latents.shape[-1]:
+                    latents = nearest_resample(latents, timepoints)
             yield latents.astype(np.float32)
 
     def _get_timed_arrays(

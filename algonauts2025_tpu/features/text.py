@@ -74,6 +74,7 @@ class JaxTextBackbone(TextBackbone):
 
     def __init__(self, model, params, tokenizer, pad_id: int):
         import jax
+        import jax.numpy as jnp
 
         self.model = model
         self.params = params
@@ -84,6 +85,19 @@ class JaxTextBackbone(TextBackbone):
         self._fn = jax.jit(
             lambda params, ids, mask: self.model.apply({"params": params}, ids, mask)
         )
+
+        def pooled(params, ids, mask, spans):
+            # word embedding = mean of the last `span` valid positions —
+            # pooled ON DEVICE so only (L+1, B, D) crosses the wire instead
+            # of the full (L+1, B, T, D) hidden stack
+            states = self.model.apply({"params": params}, ids, mask)
+            n_valid = mask.sum(axis=-1)  # (B,)
+            pos = jnp.arange(ids.shape[-1])[None]
+            sel = (pos >= (n_valid - spans)[:, None]) & (pos < n_valid[:, None])
+            w = sel / jnp.maximum(sel.sum(axis=-1, keepdims=True), 1)
+            return jnp.einsum("lbtd,bt->lbd", states, w.astype(states.dtype))
+
+        self._pooled_fn = jax.jit(pooled)
 
     def encode(self, texts: list[str], max_len: int = 1024) -> tuple[np.ndarray, np.ndarray]:
         seqs = []
@@ -106,6 +120,13 @@ class JaxTextBackbone(TextBackbone):
 
     def hidden_states(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         out = self._fn(self.params, ids, mask)
+        return np.asarray(out)
+
+    def pooled_states(
+        self, ids: np.ndarray, mask: np.ndarray, spans: np.ndarray
+    ) -> np.ndarray:
+        """(L+1, B, D) word embeddings, pooled on device."""
+        out = self._pooled_fn(self.params, ids, mask, spans)
         return np.asarray(out)
 
 
@@ -215,13 +236,24 @@ class LLAMA3p2(LayeredFeatureBase):
             chunk = events[i : i + bs]
             contexts = [e.context or e.text for e in chunk]
             ids, mask = backbone.encode(contexts, self.max_context_tokens)
-            states = backbone.hidden_states(ids, mask)  # (L+1, B, T, D)
-            for j, event in enumerate(chunk):
-                n_valid = int(mask[j].sum())
-                span = max(1, min(len(event.text), n_valid))
-                # last len(word) valid positions, mean-pooled (reference parity)
-                word_state = states[:, j, n_valid - span : n_valid, :].mean(axis=1)
-                yield word_state.astype(np.float32)  # (L+1, D)
+            # last len(word) valid positions, mean-pooled (reference parity)
+            n_valid = mask.sum(axis=-1)
+            spans = np.array(
+                [
+                    max(1, min(len(e.text), int(n_valid[j])))
+                    for j, e in enumerate(chunk)
+                ],
+                dtype=np.int32,
+            )
+            if hasattr(backbone, "pooled_states"):
+                pooled = backbone.pooled_states(ids, mask, spans)  # (L+1, B, D)
+                for j, _event in enumerate(chunk):
+                    yield pooled[:, j].astype(np.float32)
+            else:
+                states = backbone.hidden_states(ids, mask)  # (L+1, B, T, D)
+                for j, _event in enumerate(chunk):
+                    nv, span = int(n_valid[j]), int(spans[j])
+                    yield states[:, j, nv - span : nv, :].mean(axis=1).astype(np.float32)
 
     def _get_timed_arrays(
         self, events: list[Word], start: float, duration: float

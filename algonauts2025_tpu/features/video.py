@@ -54,8 +54,9 @@ class JaxVideoBackbone(VideoBackbone):
         def fn(params, frames):  # (B, T, H, W, 3) uint8
             pixels = jax.vmap(lambda f: preprocess_frames(f, self.crop_size))(frames)
             states = self.model.apply({"params": params}, pixels)
-            # (L+1, B, N, D) -> (B, L+1, D): mean over tokens
-            return jnp_mean_tokens(states)
+            if states.ndim == 4:
+                return jnp_mean_tokens(states)  # (L+1, B, N, D) -> (B, L+1, D)
+            return jnp_swap(states)  # token-pooled (L+1, B, D) -> (B, L+1, D)
 
         self._fn = jax.jit(fn)  # params passed as argument, not constant
 
@@ -67,6 +68,12 @@ def jnp_mean_tokens(states):
     import jax.numpy as jnp
 
     return jnp.transpose(states.mean(axis=2), (1, 0, 2))
+
+
+def jnp_swap(states):
+    import jax.numpy as jnp
+
+    return jnp.transpose(states, (1, 0, 2))
 
 
 class TinyVideoBackbone(JaxVideoBackbone):
@@ -130,7 +137,10 @@ def load_hf_video_backbone(model_name: str) -> JaxVideoBackbone:
     )
     params = params_from_hf(hf_model.state_dict(), cfg)
     return JaxVideoBackbone(
-        VJEPA2Backbone(cfg), params, n_frames=c.frames_per_clip, crop_size=c.crop_size
+        VJEPA2Backbone(cfg, token_pool=True),
+        params,
+        n_frames=c.frames_per_clip,
+        crop_size=c.crop_size,
     )
 
 

@@ -91,7 +91,7 @@ class LlamaMlp(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         dense = lambda features, name: nn.Dense(
-            features, use_bias=False, dtype=cfg.dtype, name=name
+            features, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.dtype, name=name
         )
         gate = dense(cfg.intermediate_size, "gate_proj")(x)
         up = dense(cfg.intermediate_size, "up_proj")(x)
@@ -133,7 +133,11 @@ class LlamaBackbone(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones((b, t), jnp.int32)
         embed = nn.Embed(
-            cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype, name="embed_tokens"
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=cfg.dtype,  # frozen backbone: store weights in bf16
+            name="embed_tokens",
         )
         x = embed(input_ids)
         positions = jnp.cumsum(attention_mask, axis=-1) - 1  # left-pad tolerant
@@ -176,7 +180,7 @@ class LlamaAttention(nn.Module):
         b, t, _ = x.shape
         hd = cfg.head_dim
         dense = lambda features, name: nn.Dense(
-            features, use_bias=False, dtype=cfg.dtype, name=name
+            features, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.dtype, name=name
         )
         q = dense(cfg.num_heads * hd, "q_proj")(x)
         k = dense(cfg.num_kv_heads * hd, "k_proj")(x)

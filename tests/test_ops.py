@@ -127,3 +127,27 @@ def test_resample_identity():
     x = jnp.asarray(np.random.randn(1000).astype(np.float32))
     y = resample_poly(x, 16000, 16000)
     np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_flash_attention_matches_reference(rng):
+    from algonauts2025_tpu.ops.flash_attention import flash_attention
+
+    q = jnp.asarray(rng.standard_normal((2, 3, 512, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 3, 512, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 3, 512, 32)).astype(np.float32))
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention(q, k, v, q_block=128, kv_block=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_skew_rel_bias(rng):
+    from algonauts2025_tpu.models.backbones.wav2vec_bert import _skew_rel_bias
+
+    t, left, right = 37, 8, 2
+    qd = jnp.asarray(rng.standard_normal((2, 4, t, left + right + 1)).astype(np.float32))
+    out = np.asarray(_skew_rel_bias(qd, t, left, right))
+    qd_np = np.asarray(qd)
+    for l in range(t):
+        for r in range(t):
+            p = int(np.clip(r - l, -left, right)) + left
+            np.testing.assert_allclose(out[..., l, r], qd_np[..., l, p], rtol=1e-6)
