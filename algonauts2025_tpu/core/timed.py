@@ -119,6 +119,24 @@ class TimedArray:
         inner = ",".join(f"{f}={getattr(self, f)}" for f in fields)
         return f"{type(self).__name__}({inner})"
 
+    def _native_add(self, other: "TimedArray", self_slice, other_slice) -> bool:
+        """Fused C++ overlap-add for the 2D float32 hot path (dataloader)."""
+        if not (
+            isinstance(self_slice, slice)
+            and isinstance(other_slice, slice)
+            and self.data.ndim == 2
+            and other.data.ndim == 2
+            and self.data.dtype == np.float32
+            and other.data.dtype == np.float32
+        ):
+            return False
+        from ..native import overlap_add
+
+        n = (self_slice.stop or 0) - (self_slice.start or 0)
+        return overlap_add(
+            self.data, other.data, self_slice.start or 0, other_slice.start or 0, n
+        )
+
     def _overlap_slice(
         self, start: float, duration: float
     ) -> tuple[float, float, slice | None] | None:
@@ -193,7 +211,8 @@ class TimedArray:
             self_slice = None
             other_slice = None
         if self._counts is None:
-            self.data[..., self_slice] += other.data[..., other_slice]
+            if not self._native_add(other, self_slice, other_slice):
+                self.data[..., self_slice] += other.data[..., other_slice]
         else:
             counts = self._counts[..., self_slice]
             upd = counts / (1.0 + counts)

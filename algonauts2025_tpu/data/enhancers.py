@@ -447,3 +447,10 @@ def _merge_sentences(
         else:
             out[-1].append(s)
     return out
+
+
+class AddTextToWords(AddText):
+    """Alias of AddText kept for config compatibility (reference
+    enhancers.py:115-116)."""
+
+    name: tp.Literal["AddTextToWords"] = "AddTextToWords"

@@ -177,6 +177,23 @@ class Wav2VecBert(LayeredFeatureBase):
                     self._backbone = TinyAudioBackbone()
         return self._backbone
 
+    def _read_mono_zscore(self, event: Event) -> tuple[np.ndarray, float]:
+        """Fused native decode+downmix+zscore when the payload is a wav file."""
+        from ..core.timed import Frequency as Freq
+        from ..io import wav as wavio
+
+        if isinstance(event, Sound):
+            sr = Freq(event.frequency)
+            wav = wavio.read_mono_zscore(
+                str(event.filepath),
+                start=sr.to_ind(event.offset),
+                frames=sr.to_ind(event.duration),
+            )
+            return wav, float(event.frequency)
+        wav, sfreq = self._read_wav(event)
+        wav = wav.mean(axis=1)
+        return (wav - wav.mean()) / (1e-8 + wav.std()), sfreq
+
     def _read_wav(self, event: Event) -> tuple[np.ndarray, float]:
         if isinstance(event, Sound):
             return np.asarray(event.read(), dtype=np.float32), float(event.frequency)
@@ -203,9 +220,7 @@ class Wav2VecBert(LayeredFeatureBase):
 
         backbone = self.backbone
         for event in events:
-            wav, sfreq = self._read_wav(event)
-            wav = wav.mean(axis=1)  # stereo -> mono
-            wav = (wav - wav.mean()) / (1e-8 + wav.std())
+            wav, sfreq = self._read_mono_zscore(event)
             if int(sfreq) != TARGET_SR:
                 wav = np.asarray(resample_poly(jnp.asarray(wav), int(sfreq), TARGET_SR))
             timepoints = max(1, Frequency(OUTPUT_HZ).to_ind(event.duration))

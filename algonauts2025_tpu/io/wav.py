@@ -137,3 +137,34 @@ def write(path: str | Path, data: np.ndarray, samplerate: int) -> None:
         f.write(b"data")
         f.write(struct.pack("<I", len(payload)))
         f.write(payload)
+
+
+def read_mono_zscore(path: str, start: int = 0, frames: int = -1) -> np.ndarray:
+    """Fused decode -> mono mean -> z-score ((x-mean)/(1e-8+std)).
+
+    Uses the native data-plane (single pass over the PCM buffer) for 16-bit
+    PCM; NumPy otherwise.  Matches the reference's audio preprocessing
+    (reference features/audio.py:123-127).
+    """
+    fmt = _parse_header(path)
+    bytes_per_sample = fmt.bits // 8
+    frame_bytes = fmt.channels * bytes_per_sample
+    total_frames = fmt.data_size // frame_bytes
+    start = min(max(0, start), total_frames)
+    if frames < 0:
+        frames = total_frames - start
+    frames = min(frames, total_frames - start)
+    if fmt.audio_format == 1 and fmt.bits == 16:
+        from ..native import decode_pcm16_mono_zscore
+
+        raw = np.fromfile(
+            path,
+            dtype=np.uint8,
+            count=frames * frame_bytes,
+            offset=fmt.data_offset + start * frame_bytes,
+        )
+        out = decode_pcm16_mono_zscore(raw, fmt.channels)
+        if out is not None:
+            return out
+    data = read(path, start=start, frames=frames).mean(axis=1)
+    return (data - data.mean()) / (1e-8 + data.std())
