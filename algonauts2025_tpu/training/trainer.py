@@ -31,7 +31,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from ..data.dataset import SegmentData
-from ..parallel.mesh import replicated, shard_batch
+from ..parallel.mesh import shard_batch
 from .metrics import Metric
 from .optim import OptimConfig
 
@@ -138,11 +138,19 @@ class BrainTrainer:
                 swa_count=jnp.zeros((), jnp.int32),
             )
 
-        state = jax.jit(_init)(rng, batch)
+        if self.mesh is not None:
+            # annotate param shardings (replicated for pure DP; large
+            # weights split over the "model" axis when it exists) and let
+            # XLA SPMD insert the collectives
+            from ..parallel.sharding import state_shardings
+
+            abstract = jax.eval_shape(_init, rng, batch)
+            shardings = state_shardings(abstract, self.mesh)
+            state = jax.jit(_init, out_shardings=shardings)(rng, batch)
+        else:
+            state = jax.jit(_init)(rng, batch)
         n_params = sum(x.size for x in jax.tree.leaves(state.params))
         logger.info("Total parameters: %d", n_params)
-        if self.mesh is not None:
-            state = jax.device_put(state, replicated(self.mesh))
         self.state = state
         return state
 
@@ -410,6 +418,8 @@ class BrainTrainer:
                 return 0
         state = restored["state"]
         if self.mesh is not None:
-            state = jax.device_put(state, replicated(self.mesh))
+            from ..parallel.sharding import state_shardings
+
+            state = jax.device_put(state, state_shardings(state, self.mesh))
         self.state = state
         return int(restored["meta"]["epoch"]) + 1
