@@ -85,6 +85,8 @@ default_config = {
         "feature_aggregation": "cat",
         "layer_aggregation": "cat",
         "subject_embedding": False,
+        # fit the 0.9B trunk + Adam on a 16 GB chip
+        "remat": True,
         "contrastive_enabled": True,
         "contrastive_modalities": ["video"],
         "contrastive_weight": 0.1,
@@ -113,7 +115,8 @@ default_config = {
         "optimizer": {
             "name": "Adam",
             "lr": 1e-4,
-            "kwargs": {"weight_decay": 0.0},
+            # bf16 first moment: the 5th param copy does not fit in 16 GB
+            "kwargs": {"weight_decay": 0.0, "mu_dtype": "bfloat16"},
         },
         "scheduler": {
             "name": "OneCycleLR",

@@ -89,6 +89,34 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
     ).astype(o_ref.dtype)
 
 
+@jax.custom_vjp
+def _pallas_attention(q, k, v):
+    """Pallas forward with an analytic XLA backward (the kernel itself has
+    no autodiff rule; the trunk trains through this op)."""
+    return _fused_attention_tpu(q, k, v)
+
+
+def _pallas_attention_fwd(q, k, v):
+    return _fused_attention_tpu(q, k, v), (q, k, v)
+
+
+def _pallas_attention_bwd(res, g):
+    q, k, v = res
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * scale, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", probs, g32)
+    dprobs = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
+    dq = scale * jnp.einsum("bhqk,bhkd->bhqd", dscores, k.astype(jnp.float32))
+    dk = scale * jnp.einsum("bhqk,bhqd->bhkd", dscores, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_pallas_attention.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_attention_tpu(q, k, v, interpret=False):
     from jax.experimental import pallas as pl
@@ -146,5 +174,5 @@ def fused_attention(
             and vmem_bytes < 12 * 1024 * 1024
         )
     if use_pallas:
-        return _fused_attention_tpu(q, k, v)
+        return _pallas_attention(q, k, v)
     return dot_product_attention(q, k, v, mask)

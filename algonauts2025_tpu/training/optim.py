@@ -31,6 +31,8 @@ class OptimizerConfig(pydantic.BaseModel):
         b1, b2 = kw.pop("betas", (0.9, 0.999))
         eps = kw.pop("eps", 1e-8)
         momentum = kw.pop("momentum", 0.0)
+        # HBM saver for billion-param training on 16 GB chips
+        mu_dtype = kw.pop("mu_dtype", None)
         if kw:
             raise ValueError(f"Unsupported optimizer kwargs: {list(kw)}")
         name = self.name
@@ -39,14 +41,15 @@ class OptimizerConfig(pydantic.BaseModel):
                 # torch Adam applies L2 to the gradient (not decoupled)
                 return optax.chain(
                     optax.add_decayed_weights(weight_decay),
-                    optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+                    optax.scale_by_adam(b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype),
                     optax.scale_by_learning_rate(schedule),
                 )
             if name == "AdamW":
                 return optax.adamw(
-                    schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay
+                    schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+                    mu_dtype=mu_dtype,
                 )
-            return optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+            return optax.adam(schedule, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype)
         if name == "SGD":
             return optax.sgd(schedule, momentum=momentum or None)
         if name == "Adagrad":

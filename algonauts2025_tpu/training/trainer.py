@@ -5,9 +5,10 @@ Trainer wiring in main.py:357-414) with a functional JAX loop:
 
 - one compiled train step (grad + optax update + EMA-free SWA slot),
   donated state, dropout/modality rngs threaded explicitly;
-- SWA as a running mean of params updated at epoch boundaries from 60% of
-  training, LR annealed to swa_lr inside the optax schedule
-  (reference main.py:365-373);
+- SWA as a running mean of params accumulated ON HOST at epoch
+  boundaries from 60% of training (a device slot would be a 4th-5th copy
+  of the params: the 0.9B flagship + Adam already fills a 16 GB chip), LR
+  annealed to swa_lr inside the optax schedule (reference main.py:365-373);
 - streaming metrics (training.metrics) updated on device per eval batch;
 - orbax checkpoints (best on monitor / last, reference main.py:374-385)
   including optimizer and SWA state for exact resume;
@@ -44,8 +45,6 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: tp.Any
     opt_state: tp.Any
-    swa_params: tp.Any  # running mean of params (SWA slot)
-    swa_count: jax.Array  # number of models averaged so far
 
 
 @dataclasses.dataclass
@@ -100,6 +99,8 @@ class BrainTrainer:
         self._eval_step = None
         self._has_contrastive = hasattr(model, "forward_with_contrastive")
         self._logger: tp.Any = None
+        self._swa_params: tp.Any = None
+        self._swa_count: int = 0
 
     # -- initialization ---------------------------------------------------
     def init_state(self, example_batch: SegmentData, total_steps: int) -> TrainState:
@@ -131,11 +132,6 @@ class BrainTrainer:
                 step=jnp.zeros((), jnp.int32),
                 params=params,
                 opt_state=self.tx.init(params),
-                # zeros (not an alias of params): the first SWA merge at
-                # count 0 yields params exactly, and donation needs
-                # distinct buffers
-                swa_params=jax.tree.map(jnp.zeros_like, params),
-                swa_count=jnp.zeros((), jnp.int32),
             )
 
         if self.mesh is not None:
@@ -210,15 +206,18 @@ class BrainTrainer:
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
 
-    @staticmethod
-    def _swa_merge(state: TrainState) -> TrainState:
-        n = state.swa_count.astype(jnp.float32)
-        swa = jax.tree.map(
-            lambda avg, p: (avg * n + p) / (n + 1.0), state.swa_params, state.params
+    def _swa_merge(self) -> None:
+        """Host-side running mean of params (exact fp32, zero HBM cost)."""
+        params = jax.device_get(self.state.params)
+        if self._swa_params is None:
+            self._swa_params = params
+            self._swa_count = 1
+            return
+        n = float(self._swa_count)
+        self._swa_params = jax.tree.map(
+            lambda avg, p: (avg * n + p) / (n + 1.0), self._swa_params, params
         )
-        return state.replace(swa_params=swa, swa_count=state.swa_count + 1)
-
-    _swa_merge_jit = None
+        self._swa_count += 1
 
     # -- training loop ----------------------------------------------------
     def fit(
@@ -232,8 +231,6 @@ class BrainTrainer:
         assert self.state is not None, "call init_state first"
         if self._train_step is None:
             self._build_steps()
-        if BrainTrainer._swa_merge_jit is None:
-            BrainTrainer._swa_merge_jit = jax.jit(BrainTrainer._swa_merge)
         rng = jax.random.PRNGKey(cfg.seed + 1)
         swa_start_epoch = int(cfg.n_epochs * cfg.swa_start)
 
@@ -269,7 +266,7 @@ class BrainTrainer:
 
             # SWA epoch-boundary merge
             if cfg.swa_enabled and epoch >= swa_start_epoch:
-                self.state = BrainTrainer._swa_merge_jit(self.state)
+                self._swa_merge()
 
             # validation
             val_metrics = self.evaluate(val_loader_fn(), split="val")
@@ -314,8 +311,12 @@ class BrainTrainer:
                 break
 
         # adopt SWA weights at the end of training (Lightning parity)
-        if cfg.swa_enabled and int(self.state.swa_count) > 0:
-            self.state = self.state.replace(params=self.state.swa_params)
+        if cfg.swa_enabled and self._swa_count > 0:
+            swa = jax.device_put(
+                self._swa_params,
+                jax.tree.map(lambda p: p.sharding, self.state.params),
+            )
+            self.state = self.state.replace(params=swa)
             self.save_checkpoint("last", epoch=n_epochs - 1)
 
     # -- evaluation -------------------------------------------------------
@@ -395,31 +396,41 @@ class BrainTrainer:
         import orbax.checkpoint as ocp
 
         with ocp.StandardCheckpointer() as ckptr:
-            meta = {"epoch": epoch if epoch is not None else -1}
-            ckptr.save(
-                path.resolve(),
-                {"state": jax.device_get(self.state), "meta": meta},
-                force=True,
-            )
+            meta = {"epoch": epoch if epoch is not None else -1,
+                    "swa_count": self._swa_count}
+            payload = {"state": jax.device_get(self.state), "meta": meta}
+            if self._swa_params is not None:
+                payload["swa_params"] = self._swa_params
+            ckptr.save(path.resolve(), payload, force=True)
 
     def load_checkpoint(self, path: str | Path, strict: bool = True) -> int:
         """Restore state; returns the next epoch to run."""
         import orbax.checkpoint as ocp
 
         assert self.state is not None, "init_state before load_checkpoint"
-        template = {"state": jax.device_get(self.state), "meta": {"epoch": -1}}
+        template = {
+            "state": jax.device_get(self.state),
+            "meta": {"epoch": -1, "swa_count": 0},
+        }
         with ocp.StandardCheckpointer() as ckptr:
             try:
                 restored = ckptr.restore(Path(path).resolve(), template)
             except Exception:
-                if strict:
-                    raise
-                logger.warning("Non-strict checkpoint load failed for %s", path)
-                return 0
+                try:  # checkpoints that carry an SWA slot
+                    template["swa_params"] = jax.device_get(self.state.params)
+                    restored = ckptr.restore(Path(path).resolve(), template)
+                except Exception:
+                    if strict:
+                        raise
+                    logger.warning("Non-strict checkpoint load failed for %s", path)
+                    return 0
         state = restored["state"]
         if self.mesh is not None:
             from ..parallel.sharding import state_shardings
 
             state = jax.device_put(state, state_shardings(state, self.mesh))
         self.state = state
+        if "swa_params" in restored:
+            self._swa_params = restored["swa_params"]
+        self._swa_count = int(restored["meta"].get("swa_count", 0))
         return int(restored["meta"]["epoch"]) + 1
