@@ -68,6 +68,7 @@ class Experiment(pydantic.BaseModel):
     checkpoint_path: str | None = None
     test_only: bool = False
     n_devices: int | None = None  # data-parallel width (None = all local)
+    profile: bool = False  # jax.profiler trace of the first train epoch
 
     infra: TaskInfra = TaskInfra(version="1")
 
@@ -230,12 +231,23 @@ class Experiment(pydantic.BaseModel):
             return val_ds.batches(batch_size=batch_size, num_workers=num_workers)
 
         if not self.test_only and train_ds is not None and val_ds is not None:
-            trainer.fit(
-                train_loader,
-                val_loader,
-                steps_per_epoch=steps_per_epoch,
-                start_epoch=start_epoch,
-            )
+            if self.profile:
+                from ..utils.profiling import trace
+
+                with trace(Path(self.infra.folder) / "profile"):
+                    trainer.fit(
+                        train_loader,
+                        val_loader,
+                        steps_per_epoch=steps_per_epoch,
+                        start_epoch=start_epoch,
+                    )
+            else:
+                trainer.fit(
+                    train_loader,
+                    val_loader,
+                    steps_per_epoch=steps_per_epoch,
+                    start_epoch=start_epoch,
+                )
 
         results: dict[str, float] = {}
         if val_ds is not None:

@@ -63,6 +63,13 @@ class JaxVideoBackbone(VideoBackbone):
     def encode_windows(self, windows: np.ndarray) -> np.ndarray:
         return np.asarray(self._fn(self.params, windows))
 
+    def encode_windows_async(self, windows: np.ndarray):
+        """Dispatch without syncing; pair with np.asarray on the result.
+
+        Lets the host decode/assemble the next window batch while the
+        device computes this one (jax dispatch is asynchronous)."""
+        return self._fn(self.params, windows)
+
 
 def jnp_mean_tokens(states):
     import jax.numpy as jnp
@@ -191,18 +198,38 @@ class VJEPA2(LayeredFeatureBase):
             window_iter = clip.sliding_windows(
                 times, backbone.n_frames, WINDOW_SECONDS_BACK
             )
+            has_async = hasattr(backbone, "encode_windows_async")
+            pending: tuple[tp.Any, int] | None = None
+
+            def flush() -> None:
+                nonlocal pending
+                if pending is not None:
+                    dev, n = pending
+                    outputs.append(np.asarray(dev)[:n])
+                    pending = None
+
+            def submit(stack: np.ndarray, n: int) -> None:
+                nonlocal pending
+                if has_async:
+                    dev = backbone.encode_windows_async(stack)
+                    flush()  # sync the previous batch while this one runs
+                    pending = (dev, n)
+                else:
+                    outputs.append(backbone.encode_windows(stack)[:n])
+
             batch: list[np.ndarray] = []
             for window in window_iter:
                 batch.append(window)
                 if len(batch) == self.window_batch:
-                    outputs.append(backbone.encode_windows(np.stack(batch)))
+                    submit(np.stack(batch), len(batch))
                     batch = []
             if batch:
                 # pad to the jit'd batch width, drop the extras
                 n = len(batch)
                 while len(batch) < self.window_batch:
                     batch.append(batch[-1])
-                outputs.append(backbone.encode_windows(np.stack(batch))[:n])
+                submit(np.stack(batch), n)
+            flush()
             clip.close()
             stacked = np.concatenate(outputs, axis=0)  # (T, L+1, D)
             yield np.transpose(stacked, (1, 2, 0)).astype(np.float32)  # (L+1, D, T)

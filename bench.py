@@ -150,15 +150,24 @@ def bench_video(video_path: Path) -> float:
     clip = VideoClip(str(video_path))
     t0 = time.time()
     batch = []
+    pending = None
     for window in clip.sliding_windows(times, 64, 4.0):
         batch.append(window)
         if len(batch) == wb:
-            backbone.encode_windows(np.stack(batch))
+            dev = backbone.encode_windows_async(np.stack(batch))
+            if pending is not None:
+                np.asarray(pending)  # sync previous while this batch runs
+            pending = dev
             batch = []
     if batch:
         while len(batch) < wb:
             batch.append(batch[-1])
-        backbone.encode_windows(np.stack(batch))
+        dev = backbone.encode_windows_async(np.stack(batch))
+        if pending is not None:
+            np.asarray(pending)
+        pending = dev
+    if pending is not None:
+        np.asarray(pending)
     dt = time.time() - t0
     clip.close()
     del params, backbone
