@@ -257,7 +257,13 @@ class RankConfig(BaseMetricConfig):
 
 
 MetricConfig = tp.Annotated[
-    tp.Union[PearsonMetricConfig, GroupedMetricConfig, TopkAccConfig, RankConfig],
+    tp.Union[
+        PearsonMetricConfig,
+        GroupedMetricConfig,
+        TopkAccConfig,
+        RankConfig,
+        "OnlinePearsonCorrConfig",
+    ],
     pydantic.Field(discriminator="name"),
 ]
 
@@ -267,3 +273,44 @@ def build_metric(config: tp.Any, n_groups: int | None = None) -> Metric:
         return config.build(n_groups)
     adapter = pydantic.TypeAdapter(MetricConfig)
     return adapter.validate_python(config).build(n_groups)
+
+
+class OnlinePearsonCorr(MultidimPearsonCorrCoef):
+    """Streaming Pearson with reduction control (reference metrics.py:16-63).
+
+    The sufficient-statistics accumulator already *is* online; this class
+    adds the reference's dim/reduction surface.
+    """
+
+    def __init__(self, dim: int = 0, reduction: tp.Optional[str] = "mean"):
+        self.dim = dim
+        self.reduction = reduction
+        super().__init__()
+
+    def update(self, preds, target, groups=None) -> None:
+        if self.dim == 1:
+            preds = preds.T
+            target = target.T
+        super().update(preds, target)
+
+    def compute(self):
+        assert self._state is not None, "update() must run before compute()"
+        import jax.numpy as jnp
+
+        from ..ops.pearson import compute_pearson
+
+        corr = compute_pearson(self._state)
+        if self.reduction == "mean":
+            return float(jnp.nanmean(corr))
+        if self.reduction == "sum":
+            return float(jnp.nansum(corr))
+        return np.asarray(corr)
+
+
+class OnlinePearsonCorrConfig(BaseMetricConfig):
+    name: tp.Literal["OnlinePearsonCorr"] = "OnlinePearsonCorr"
+    dim: int = 0
+    reduction: tp.Optional[str] = "mean"
+
+    def build(self, n_groups: int | None = None) -> Metric:
+        return OnlinePearsonCorr(dim=self.dim, reduction=self.reduction)

@@ -142,3 +142,63 @@ def test_segment_dataset_batching(tmp_path):
     b_serial = list(ds.batches(batch_size=2))
     for bt, bs in zip(b_threaded, b_serial):
         np.testing.assert_array_equal(bt.data["x"], bs.data["x"])
+
+
+def test_assign_sentence_split():
+    from algonauts2025_tpu.data.enhancers import (
+        AddSentenceToWords,
+        AddText,
+        AssignSentenceSplit,
+    )
+
+    words = ("the quick brown fox jumps over the lazy dog and then runs far "
+             "away into the deep dark woods tonight").split()
+    rows = []
+    t = 0.0
+    for w in words:
+        rows.append(dict(type="Word", text=w, start=t, duration=0.3,
+                         timeline="tl", language="english"))
+        t += 0.5
+    events = validate_events(pd.DataFrame(rows))
+    events = AddText()(events)
+    events = AddSentenceToWords(max_unmatched_ratio=0.5)(events)
+    out = AssignSentenceSplit(ratios=(0.6, 0.2, 0.2), max_unmatched_ratio=0.5)(events)
+    words_out = out[out.type == "Word"]
+    assigned = words_out.split.dropna()
+    assert set(assigned) <= {"train", "val", "test", "undefined"}
+    # deterministic: same input -> same assignment
+    out2 = AssignSentenceSplit(ratios=(0.6, 0.2, 0.2), max_unmatched_ratio=0.5)(events)
+    assert list(out2[out2.type == "Word"].split) == list(words_out.split)
+
+
+def test_run_grid_dry_run(tmp_path):
+    import pydantic
+
+    from algonauts2025_tpu.cache import TaskInfra
+    from algonauts2025_tpu.experiment.grid import run_grid
+
+    ran = []
+
+    class Toy(pydantic.BaseModel):
+        x: int = 0
+        seed: int = 0
+        infra: TaskInfra = TaskInfra()
+
+        def model_post_init(self, _ctx):
+            self.infra.bind(self)
+
+        def run(self):
+            ran.append((self.x, self.seed))
+
+    configs = run_grid(
+        Toy,
+        "toygrid",
+        {"infra": {"folder": str(tmp_path)}},
+        {"x": [1, 2], "seed": [0, 1]},
+        combinatorial=True,
+        interactive=False,
+    )
+    assert len(configs) == 4
+    assert sorted(ran) == [(1, 0), (1, 1), (2, 0), (2, 1)]
+    # per-config folders assigned under the grid name
+    assert all("toygrid" in c["infra.folder"] for c in configs)
