@@ -98,21 +98,45 @@ class LlamaMlp(nn.Module):
         return dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
 
 
+def _decoder_attention(q, k, v, mask, lengths, hd, dtype):
+    """Causal decoder attention: blockwise flash on TPU (right-padded
+    lengths masked in-kernel), XLA einsum elsewhere."""
+    t = q.shape[-2]
+    if (
+        jax.default_backend() == "tpu"
+        and lengths is not None
+        and t >= 256
+        and t % 128 == 0
+    ):
+        from ...ops.flash_attention import flash_attention
+
+        qb = 256 if t % 256 == 0 else 128
+        kvb = 512 if t % 512 == 0 else qb
+        return flash_attention(
+            q, k, v, q_block=qb, kv_block=kvb, causal=True, lengths=lengths
+        )
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / hd**0.5
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
 class LlamaLayer(nn.Module):
-    """One decoder layer; scan-compatible (carry=(x, cos, sin, mask))."""
+    """One decoder layer; scan-compatible (carry=(x, cos, sin, mask, lengths))."""
 
     cfg: LlamaConfig
 
     @nn.compact
     def __call__(self, carry, _unused):
-        x, cos, sin, mask = carry
+        x, cos, sin, mask, lengths = carry
         cfg = self.cfg
         h = RMSNorm(cfg.rms_eps, name="input_norm")(x)
-        x = x + LlamaAttention(cfg, name="attn")(h, cos, sin, mask)
+        x = x + LlamaAttention(cfg, name="attn")(h, cos, sin, mask, lengths)
         h = RMSNorm(cfg.rms_eps, name="post_norm")(x)
         x = x + LlamaMlp(cfg, name="mlp")(h)
         # emit the per-layer hidden state (fp32) for the (L+1) stack
-        return (x, cos, sin, mask), x.astype(jnp.float32)
+        return (x, cos, sin, mask, lengths), x.astype(jnp.float32)
 
 
 class LlamaBackbone(nn.Module):
@@ -158,8 +182,9 @@ class LlamaBackbone(nn.Module):
             split_rngs={"params": True},
             length=cfg.num_layers,
         )
-        (x, _, _, _), layer_states = ScannedLayer(cfg, name="layers")(
-            (x, cos, sin, mask), None
+        lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
+        (x, _, _, _, _), layer_states = ScannedLayer(cfg, name="layers")(
+            (x, cos, sin, mask, lengths), None
         )
         x = RMSNorm(cfg.rms_eps, name="final_norm")(x)
         # HF parity: [embeddings, layer_1..layer_{L-1}, final_norm(layer_L)]
@@ -175,7 +200,7 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, mask):
+    def __call__(self, x, cos, sin, mask, lengths=None):
         cfg = self.cfg
         b, t, _ = x.shape
         hd = cfg.head_dim
@@ -198,11 +223,7 @@ class LlamaAttention(nn.Module):
         rep = cfg.num_heads // cfg.num_kv_heads
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / hd**0.5
-        scores = jnp.where(mask, scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1).astype(cfg.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = _decoder_attention(q, k, v, mask, lengths, hd, cfg.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * hd)
         return dense(cfg.hidden_size, "o_proj")(out)
 

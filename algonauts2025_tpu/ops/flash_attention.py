@@ -25,11 +25,29 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, scale: float):
+def _flash_kernel(
+    len_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    *,
+    kv_block: int,
+    scale: float,
+    causal: bool,
+    masked: bool,
+):
     q = q_ref[0]  # (qb, Dp)
     qb, dp = q.shape
     t = k_ref.shape[1]
-    n_kv = t // kv_block
+    q_off = pl_program_id(1) * qb
+    valid = len_ref[pl_program_id(0)] if masked else t
+    # causal: only kv blocks that intersect rows up to q_off+qb-1 contribute
+    n_kv = (
+        jnp.minimum((q_off + qb + kv_block - 1) // kv_block, t // kv_block)
+        if causal
+        else t // kv_block
+    )
 
     def body(i, carry):
         acc, m, l = carry
@@ -39,6 +57,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, scale: float):
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * scale
+        if causal or masked:
+            col = i * kv_block + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_block), 1)
+            keep = jnp.ones((qb, kv_block), bool)
+            if causal:
+                row = q_off + jax.lax.broadcasted_iota(jnp.int32, (qb, kv_block), 0)
+                keep &= col <= row
+            if masked:
+                keep &= col < valid
+            s = jnp.where(keep, s, -1e30)
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -54,7 +81,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, scale: float):
     m0 = jnp.full((qb, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((qb, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def pl_program_id(axis):
+    from jax.experimental import pallas as pl
+
+    return pl.program_id(axis)
 
 
 def pl_ds(start, size):
@@ -64,7 +97,7 @@ def pl_ds(start, size):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("q_block", "kv_block", "interpret")
+    jax.jit, static_argnames=("q_block", "kv_block", "causal", "interpret")
 )
 def flash_attention(
     q: jax.Array,
@@ -72,20 +105,21 @@ def flash_attention(
     v: jax.Array,
     q_block: int = 512,
     kv_block: int = 1024,
+    causal: bool = False,
+    lengths: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """(B, H, T, D) non-causal attention without materialized scores."""
+    """(B, H, T, D) attention without materialized scores.
+
+    ``causal`` restricts to the lower triangle (decoder backbones);
+    ``lengths`` (B,) int32 masks right-padded keys per batch row.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, t, d = q.shape
     scale = d**-0.5
     dp = _round_up(d, 128)
-    tp = _round_up(t, q_block)
-    tkv = _round_up(t, kv_block)
-    # pad seq to blocks; padded kv keys are zero -> scores 0, they acquire
-    # softmax mass. To keep exactness we pad KV with -inf via a large
-    # negative on the first padded key... simpler: require t divisible.
     if t % q_block or t % kv_block:
         raise ValueError(
             f"flash_attention requires T divisible by blocks, got {t} "
@@ -95,21 +129,40 @@ def flash_attention(
     qp = jnp.pad(q, pad).reshape(b * h, t, dp)
     kp = jnp.pad(k, pad).reshape(b * h, t, dp)
     vp = jnp.pad(v, pad).reshape(b * h, t, dp)
+    masked = lengths is not None
+    if lengths is None:
+        lens = jnp.full((b * h,), t, jnp.int32)
+    else:
+        lens = jnp.repeat(lengths.reshape(b).astype(jnp.int32), h, axis=0)
 
-    grid = (b * h, t // q_block)
-    q_spec = pl.BlockSpec((1, q_block, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, t, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_block=kv_block, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, t, dp), q.dtype),
-        grid=grid,
+    # index maps receive the scalar-prefetch ref as a trailing arg
+    q_spec = pl.BlockSpec(
+        (1, q_block, dp), lambda i, j, _lens: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, t, dp), lambda i, j, _lens: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # lens rides in SMEM, whole, every program
+        grid=(b * h, t // q_block),
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel,
+            kv_block=kv_block,
+            scale=scale,
+            causal=causal,
+            masked=masked,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, dp), q.dtype),
+        grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * t * t * dp,
+            flops=4 * b * h * t * t * dp // (2 if causal else 1),
             bytes_accessed=(3 * b * h * t * dp + b * h * t * dp) * 2,
             transcendentals=b * h * t * t,
         ),
-    )(qp, kp, vp)
+    )(lens, qp, kp, vp)
     return out.reshape(b, h, t, dp)[..., :d]

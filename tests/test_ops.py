@@ -172,3 +172,28 @@ def test_pallas_attention_grad_matches_xla(rng):
     got_grads = att._pallas_attention_bwd((q, k, v), g)
     for a, b in zip(got_grads, ref_grads):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_attention_causal_masked(rng):
+    from algonauts2025_tpu.ops.flash_attention import flash_attention
+
+    b, h, t, d = 2, 2, 256, 16
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    lengths = jnp.asarray([200, 256], jnp.int32)
+
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    keymask = (jnp.arange(t)[None, None, None] < lengths[:, None, None, None])
+    ref = dot_product_attention(q, k, v, mask=causal & keymask)
+    out = flash_attention(
+        q, k, v, q_block=64, kv_block=128, causal=True, lengths=lengths,
+        interpret=True,
+    )
+    valid_rows = np.asarray(keymask)[:, 0, 0, :]  # padded q rows are junk
+    for bi in range(b):
+        np.testing.assert_allclose(
+            np.asarray(out)[bi, :, valid_rows[bi]],
+            np.asarray(ref)[bi, :, valid_rows[bi]],
+            atol=2e-3,
+        )
