@@ -256,23 +256,6 @@ class RankConfig(BaseMetricConfig):
         return Rank(reduction=self.reduction, relative=self.relative)
 
 
-MetricConfig = tp.Annotated[
-    tp.Union[
-        PearsonMetricConfig,
-        GroupedMetricConfig,
-        TopkAccConfig,
-        RankConfig,
-        "OnlinePearsonCorrConfig",
-    ],
-    pydantic.Field(discriminator="name"),
-]
-
-
-def build_metric(config: tp.Any, n_groups: int | None = None) -> Metric:
-    if isinstance(config, BaseMetricConfig):
-        return config.build(n_groups)
-    adapter = pydantic.TypeAdapter(MetricConfig)
-    return adapter.validate_python(config).build(n_groups)
 
 
 class OnlinePearsonCorr(MultidimPearsonCorrCoef):
@@ -314,3 +297,22 @@ class OnlinePearsonCorrConfig(BaseMetricConfig):
 
     def build(self, n_groups: int | None = None) -> Metric:
         return OnlinePearsonCorr(dim=self.dim, reduction=self.reduction)
+
+
+MetricConfig = tp.Annotated[
+    tp.Union[
+        PearsonMetricConfig,
+        GroupedMetricConfig,
+        TopkAccConfig,
+        RankConfig,
+        OnlinePearsonCorrConfig,
+    ],
+    pydantic.Field(discriminator="name"),
+]
+
+
+def build_metric(config: tp.Any, n_groups: int | None = None) -> Metric:
+    if isinstance(config, BaseMetricConfig):
+        return config.build(n_groups)
+    adapter = pydantic.TypeAdapter(MetricConfig)
+    return adapter.validate_python(config).build(n_groups)
