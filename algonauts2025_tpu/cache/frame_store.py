@@ -7,7 +7,6 @@ fully-enhanced events table (reference data_utils/data_utils/data.py:122,207).
 from __future__ import annotations
 
 import hashlib
-import typing as tp
 from pathlib import Path
 
 import pandas as pd

@@ -21,7 +21,7 @@ import warnings
 import numpy as np
 import pandas as pd
 
-from .events import Event, EventTypesHelper, warn_once
+from .events import Event, warn_once
 
 logger = logging.getLogger(__name__)
 

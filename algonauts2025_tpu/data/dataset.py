@@ -173,6 +173,30 @@ class SegmentDataset:
         items = [f.result() for f in futures]
         return self.collate(items, [self.segments[int(i)] for i in chunk])
 
+    def build_dataloader(
+        self,
+        batch_size: int = 16,
+        shuffle: bool = False,
+        num_workers: int = 0,
+        seed: int | None = None,
+    ) -> tp.Iterable[SegmentData]:
+        """Reference-API convenience: a re-iterable batch source."""
+        dataset = self
+
+        class _Loader:
+            def __iter__(self):
+                return dataset.batches(
+                    batch_size=batch_size,
+                    shuffle=shuffle,
+                    seed=seed,
+                    num_workers=num_workers,
+                )
+
+            def __len__(self):
+                return -(-len(dataset) // batch_size)
+
+        return _Loader()
+
     def as_one_batch(self, num_workers: int = 0) -> SegmentData:
         batches = list(
             self.batches(batch_size=max(1, len(self)), num_workers=num_workers)

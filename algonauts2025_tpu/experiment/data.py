@@ -145,6 +145,27 @@ class Data(pydantic.BaseModel):
         self._events = events
         return out
 
+    def get_loaders(
+        self,
+        events: pd.DataFrame | None = None,
+        split_to_build: tp.Union[str, tp.Sequence[str], None] = None,
+    ) -> dict[str, tp.Any]:
+        """Reference-API convenience (main.py:124-203): per-split re-iterable
+        batch sources instead of torch DataLoaders."""
+        if isinstance(split_to_build, str):
+            splits: tp.Sequence[str] | None = [split_to_build]
+        else:
+            splits = split_to_build
+        datasets = self.get_datasets(events, splits=splits)
+        return {
+            split: ds.build_dataloader(
+                batch_size=self.batch_size,
+                shuffle=split == "train",
+                num_workers=self.num_workers,
+            )
+            for split, ds in datasets.items()
+        }
+
     def recut_segments(
         self, dataset: SegmentDataset, events: pd.DataFrame, jitter: float
     ) -> None:

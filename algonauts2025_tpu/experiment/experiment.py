@@ -28,7 +28,6 @@ import pydantic
 import yaml
 
 from ..cache.task_cache import TaskInfra
-from ..core.segments import WINDOW_SECONDS
 from ..data.dataset import SegmentDataset, prefetch_to_device
 from ..models.fmri_encoder import FmriEncoderConfig
 from ..training.losses import LossConfig, build_loss

@@ -163,7 +163,6 @@ def load_hf_text_backbone(model_name: str) -> JaxTextBackbone:
     from transformers import AutoModel, AutoTokenizer
 
     from ..models.backbones.llama import (
-        LLAMA_3P2_3B,
         LlamaBackbone,
         LlamaConfig,
         params_from_hf,

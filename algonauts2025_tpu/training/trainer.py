@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..data.dataset import SegmentData
 from ..parallel.mesh import shard_batch
