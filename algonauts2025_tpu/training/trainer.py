@@ -201,9 +201,20 @@ class BrainTrainer:
             y_pred = model.apply({"params": params}, batch, training=False)
             return y_pred
 
+        def eval_step_with_loss(params, batch):
+            """Predictions + flattened views + loss, all in one executable
+            (eager per-batch loss math is a round trip per primitive on
+            remotely-attached devices)."""
+            y_pred = model.apply({"params": params}, batch, training=False)
+            y_true = batch["fmri"]
+            yp = jnp.swapaxes(y_pred, 1, 2).reshape(-1, y_pred.shape[1])
+            yt = jnp.swapaxes(y_true, 1, 2).reshape(-1, y_true.shape[1])
+            return y_pred, yp, yt, loss_fn(yp, yt)
+
         donate = (0,)
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
+        self._eval_step_with_loss = jax.jit(eval_step_with_loss)
 
     def _swa_merge(self) -> None:
         """Host-side running mean of params (exact fp32, zero HBM cost)."""
@@ -332,11 +343,9 @@ class BrainTrainer:
         n = 0
         for batch in loader:
             data = shard_batch(batch.data, self.mesh)
-            y_pred = self._eval_step(self.state.params, data)
+            y_pred, yp, yt, loss = self._eval_step_with_loss(self.state.params, data)
             y_true = data["fmri"]
-            yp = jnp.swapaxes(y_pred, 1, 2).reshape(-1, y_pred.shape[1])
-            yt = jnp.swapaxes(y_true, 1, 2).reshape(-1, y_true.shape[1])
-            losses.append(float(self.loss_fn(yp, yt)))
+            losses.append(loss)
             subject_ids = data.get("subject_id")
             groups = None
             if subject_ids is not None:
@@ -356,7 +365,7 @@ class BrainTrainer:
             n += 1
         out: dict[str, float] = {}
         if n:
-            out[f"{split}/loss"] = float(np.mean(losses))
+            out[f"{split}/loss"] = float(np.mean([float(l) for l in losses]))
         for name, metric in self.metrics.items():
             if not name.startswith(split):
                 continue

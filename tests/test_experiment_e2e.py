@@ -112,3 +112,37 @@ def test_experiment_average_submissions(tmp_path):
     assert out.exists()
     avg = np.load(grid_dir / "submission.npy", allow_pickle=True).item()
     assert set(avg) == {"sub-01", "sub-02", "sub-03", "sub-05"}
+
+
+def test_experiment_trimodal_end_to_end(tmp_path):
+    """Full trimodal pipeline (text+audio+video+fmri) on a synthetic study."""
+    study_path = make_synthetic_study(
+        tmp_path / "data",
+        with_video=True,
+        n_parcels=16,
+        duration=24.0,
+        subjects=("sub-01",),
+        train_episodes=("e01a", "e01b"),
+        test_episodes=("e01a",),
+    )
+    cache = str(tmp_path / "cache")
+    cfg = _config(tmp_path, study_path)
+    cfg["data"]["study"]["enhancers"].append({"name": "ExtractAudioFromVideo"})
+    cfg["data"]["audio_feature"] = {
+        "name": "Wav2VecBert", "model_name": "tiny-random",
+        "infra": {"folder": cache},
+    }
+    cfg["data"]["video_feature"] = {
+        "name": "VJEPA2", "model_name": "tiny-random", "window_batch": 2,
+        "infra": {"folder": cache},
+    }
+    cfg["brain_model_config"]["contrastive_enabled"] = True
+    cfg["brain_model_config"]["contrastive_modalities"] = ["video"]
+    cfg["brain_model_config"]["modality_dropout"] = 0.3
+    cfg["n_epochs"] = 1
+    exp = Experiment(**cfg)
+    out = exp.run()
+    assert np.isfinite(out["train/loss"])
+    assert np.isfinite(out["val/pearson"])
+    sub = np.load(tmp_path / "run" / "submission.npy", allow_pickle=True).item()
+    assert all(np.isfinite(a).all() for c in sub.values() for a in c.values())
