@@ -166,3 +166,124 @@ def flash_attention(
         ),
     )(lens, qp, kp, vp)
     return out.reshape(b, h, t, dp)[..., :d]
+
+
+def _flash_kernel_packed(
+    q_ref, k_ref, v_ref, o_ref, *, kv_block: int, scale: float
+):
+    """Two heads per program, packed block-diagonally into the 128 lanes.
+
+    With head_dim 64 the MXU runs at half depth/width; packing head pair
+    (a, b) as qhat = [qa | qb] and khat/vhat block-diagonal recovers full
+    128-wide matmuls at identical FLOP count.  Non-causal, no mask (the
+    video backbone's fixed windows).
+
+    Ref shapes: q/o (1, 2, qb, d); k/v (1, 2, T, d).
+    """
+    d = q_ref.shape[-1]  # 64
+    qb = q_ref.shape[2]
+    t = k_ref.shape[2]
+    n_kv = t // kv_block
+    qhat = jnp.concatenate([q_ref[0, 0], q_ref[0, 1]], axis=-1)  # (qb, 128)
+
+    def body(i, carry):
+        acc, m, l = carry  # acc (qb, 2d); m, l (qb, 2)
+        # block-diagonal K/V tiles built in-loop (small transients; a big
+        # persistent scratch would blow the VMEM budget)
+        zero = jnp.zeros((kv_block, d), k_ref.dtype)
+        ka = k_ref[0, 0, pl_ds(i * kv_block, kv_block), :]
+        kb = k_ref[0, 1, pl_ds(i * kv_block, kv_block), :]
+        va = v_ref[0, 0, pl_ds(i * kv_block, kv_block), :]
+        vb = v_ref[0, 1, pl_ds(i * kv_block, kv_block), :]
+        k2 = jnp.concatenate(
+            [
+                jnp.concatenate([ka, zero], axis=-1),
+                jnp.concatenate([zero, kb], axis=-1),
+            ],
+            axis=0,
+        )  # (2kvb, 2d) block-diag
+        v2 = jnp.concatenate(
+            [
+                jnp.concatenate([va, zero], axis=-1),
+                jnp.concatenate([zero, vb], axis=-1),
+            ],
+            axis=0,
+        )
+        s = jax.lax.dot_general(
+            qhat, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * scale  # (qb, 2kvb): [:, :kvb] head a, [:, kvb:] head b
+        sa = s[:, :kv_block]
+        sb = s[:, kv_block:]
+        m_blk = jnp.stack([sa.max(axis=-1), sb.max(axis=-1)], axis=-1)
+        m_new = jnp.maximum(m, m_blk)
+        pa = jnp.exp(sa - m_new[:, :1])
+        pb = jnp.exp(sb - m_new[:, 1:])
+        alpha = jnp.exp(m - m_new)  # (qb, 2)
+        l_new = l * alpha + jnp.stack([pa.sum(axis=-1), pb.sum(axis=-1)], axis=-1)
+        p2 = jnp.concatenate([pa, pb], axis=-1).astype(v2.dtype)
+        pv = jax.lax.dot_general(
+            p2, v2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (qb, 2d) = [out_a | out_b]
+        alpha_wide = jnp.concatenate(
+            [jnp.repeat(alpha[:, :1], d, axis=-1), jnp.repeat(alpha[:, 1:], d, axis=-1)],
+            axis=-1,
+        )
+        acc_new = acc * alpha_wide + pv
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((qb, 2 * d), jnp.float32)
+    m0 = jnp.full((qb, 2), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((qb, 2), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
+    l_wide = jnp.concatenate(
+        [jnp.repeat(l[:, :1], d, axis=-1), jnp.repeat(l[:, 1:], d, axis=-1)], axis=-1
+    )
+    out = acc / jnp.maximum(l_wide, 1e-30)
+    o_ref[0, 0] = out[:, :d].astype(o_ref.dtype)
+    o_ref[0, 1] = out[:, d:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_block", "kv_block", "interpret"))
+def flash_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_block: int = 512,
+    kv_block: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Non-causal flash attention for head_dim 64 with head-pair packing."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, t, d = q.shape
+    assert d == 64 and h % 2 == 0, (h, d)
+    if t % q_block or t % kv_block:
+        raise ValueError(f"T={t} must divide blocks ({q_block}/{kv_block})")
+    scale = d**-0.5
+    qp = q.reshape(b * h // 2, 2, t, d)
+    kp = k.reshape(b * h // 2, 2, t, d)
+    vp = v.reshape(b * h // 2, 2, t, d)
+
+    q_spec = pl.BlockSpec(
+        (1, 2, q_block, d), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 2, t, d), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_packed, kv_block=kv_block, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h // 2, 2, t, d), q.dtype),
+        grid=(b * h // 2, t // q_block),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t * t * d,
+            bytes_accessed=4 * b * h * t * d * 2,
+            transcendentals=b * h * t * t,
+        ),
+    )(qp, kp, vp)
+    return out.reshape(b, h, t, d)

@@ -197,3 +197,14 @@ def test_flash_attention_causal_masked(rng):
             np.asarray(ref)[bi, :, valid_rows[bi]],
             atol=2e-3,
         )
+
+
+def test_flash_attention_packed_matches_reference(rng):
+    from algonauts2025_tpu.ops.flash_attention import flash_attention_packed
+
+    q = jnp.asarray(rng.standard_normal((1, 4, 512, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 4, 512, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 4, 512, 64)).astype(np.float32))
+    ref = dot_product_attention(q, k, v)
+    out = flash_attention_packed(q, k, v, q_block=128, kv_block=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
