@@ -262,9 +262,36 @@ def flash_attention_packed(
     if t % q_block or t % kv_block:
         raise ValueError(f"T={t} must divide blocks ({q_block}/{kv_block})")
     scale = d**-0.5
-    qp = q.reshape(b * h // 2, 2, t, d)
-    kp = k.reshape(b * h // 2, 2, t, d)
-    vp = v.reshape(b * h // 2, 2, t, d)
+    n_pairs = b * h // 2
+    qp = q.reshape(n_pairs, 2, t, d)
+    kp = k.reshape(n_pairs, 2, t, d)
+    vp = v.reshape(n_pairs, 2, t, d)
+
+    # the remote AOT compiler crashes above ~16 heads per call; chunk the
+    # pair axis through lax.map (one compiled kernel, executed per chunk)
+    max_pairs = 8
+    if n_pairs > max_pairs:
+        chunk = max(c for c in range(1, max_pairs + 1) if n_pairs % c == 0)
+        qc = qp.reshape(n_pairs // chunk, chunk, 2, t, d)
+        kc = kp.reshape(n_pairs // chunk, chunk, 2, t, d)
+        vc = vp.reshape(n_pairs // chunk, chunk, 2, t, d)
+        out = jax.lax.map(
+            lambda args: _packed_call(
+                args[0], args[1], args[2], q_block, kv_block, scale, interpret
+            ),
+            (qc, kc, vc),
+        )
+        return out.reshape(b, h, t, d)
+    return _packed_call(qp, kp, vp, q_block, kv_block, scale, interpret).reshape(
+        b, h, t, d
+    )
+
+
+def _packed_call(qp, kp, vp, q_block, kv_block, scale, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_pairs, _, t, d = qp.shape
 
     q_spec = pl.BlockSpec(
         (1, 2, q_block, d), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
@@ -272,18 +299,16 @@ def flash_attention_packed(
     kv_spec = pl.BlockSpec(
         (1, 2, t, d), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_flash_kernel_packed, kv_block=kv_block, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h // 2, 2, t, d), q.dtype),
-        grid=(b * h // 2, t // q_block),
+        out_shape=jax.ShapeDtypeStruct((n_pairs, 2, t, d), qp.dtype),
+        grid=(n_pairs, t // q_block),
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * t * t * d,
-            bytes_accessed=4 * b * h * t * d * 2,
-            transcendentals=b * h * t * t,
+            flops=8 * n_pairs * t * t * d,
+            bytes_accessed=8 * n_pairs * t * d * 2,
+            transcendentals=2 * n_pairs * t * t,
         ),
     )(qp, kp, vp)
-    return out.reshape(b, h, t, d)
