@@ -142,7 +142,6 @@ class Data(pydantic.BaseModel):
                 segments=segments,
                 pad_duration=self.pad_duration,
             )
-        self._events = events
         return out
 
     def get_loaders(

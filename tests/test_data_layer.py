@@ -202,3 +202,16 @@ def test_run_grid_dry_run(tmp_path):
     assert sorted(ran) == [(1, 0), (1, 1), (2, 0), (2, 1)]
     # per-config folders assigned under the grid name
     assert all("toygrid" in c["infra.folder"] for c in configs)
+
+
+def test_fmri_zscore_sample():
+    from algonauts2025_tpu.features.neuro import zscore_sample
+
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((5, 40)).astype(np.float32) * 3 + 2
+    z = zscore_sample(data)
+    np.testing.assert_allclose(z.mean(axis=-1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(z.std(axis=-1, ddof=1), 1.0, atol=1e-4)
+    # constant rows stay finite
+    const = np.ones((2, 10), np.float32)
+    assert np.isfinite(zscore_sample(const)).all()
