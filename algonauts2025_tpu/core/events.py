@@ -1,13 +1,17 @@
 """Typed event taxonomy over stimulus timelines.
 
-Rebuild of the reference event model (reference:
-data_utils/data_utils/events.py:25-354): a pydantic ``Event`` hierarchy with
-a subclass registry, DataFrame<->object round-trip, splittable media events
-and a ``method:`` URI dispatch so fMRI payloads can be read through their
-owning timeline object.
+Behavioral spec from the reference event model
+(data_utils/data_utils/events.py:25-354), re-derived: a pydantic ``Event``
+hierarchy with a subclass registry, DataFrame <-> object round-trip,
+splittable media events, and ``method:`` URIs that route payload reads back
+to the owning timeline object.
 
 Host-side only.  Readers return NumPy arrays (never framework tensors); the
 device boundary is crossed later by the feature extractors.
+
+Implementation notes (this rebuild): row parsing partitions columns with a
+single pass over a normalized mapping; media splitting is vectorized over a
+cut-edge array; the ``method:`` URI dispatch is a standalone resolver.
 """
 
 from __future__ import annotations
@@ -15,9 +19,9 @@ from __future__ import annotations
 import functools
 import inspect
 import logging
-import typing as tp
 import urllib.parse
 from pathlib import Path
+from typing import Any, Callable, ClassVar, Dict, List, Optional, Sequence, Tuple, Type, TypeVar, Union
 
 import numpy as np
 import pandas as pd
@@ -28,7 +32,7 @@ from .timed import Frequency
 
 logger = logging.getLogger(__name__)
 
-E = tp.TypeVar("E", bound="Event")
+E = TypeVar("E", bound="Event")
 
 _ISSUED_WARNINGS: set[str] = set()
 
@@ -41,265 +45,281 @@ def warn_once(message: str) -> None:
         _ISSUED_WARNINGS.add(message)
 
 
-def _int_cast(v: tp.Any) -> tp.Any:
-    if isinstance(v, int):
-        return str(v)
-    return v
+StrCast = Annotated[
+    str, pydantic.BeforeValidator(lambda v: str(v) if isinstance(v, int) else v)
+]
 
 
-StrCast = Annotated[str, pydantic.BeforeValidator(_int_cast)]
+def _is_missing(value: Any) -> bool:
+    """True for scalar NaN/None cells; array-valued cells always count as
+    present (pd.isna would return an elementwise mask for those)."""
+    flag = pd.isna(value)
+    return bool(flag) if np.ndim(flag) == 0 else False
+
+
+def _row_to_mapping(row: Any) -> Tuple[Dict[str, Any], Optional[int]]:
+    """Normalize a dict / itertuples row / Series into (mapping, df_index)."""
+    if hasattr(row, "_asdict"):  # namedtuple from DataFrame.itertuples
+        return row._asdict(), getattr(row, "Index", None)
+    if isinstance(row, pd.Series):
+        return row.to_dict(), None
+    return dict(row), None
+
+
+def _register_event_class(cls: Type["Event"]) -> None:
+    """Every Event subclass is addressable by its class name (the "type"
+    column of event DataFrames)."""
+    cls.type = cls.__name__
+    Event._CLASSES[cls.type] = cls
 
 
 class Event(pydantic.BaseModel):
     """A typed span [start, start+duration) on a named timeline."""
 
-    start: float
     timeline: str
+    start: float
     duration: pydantic.NonNegativeFloat = 0.0
-    extra: dict[str, tp.Any] = {}
+    extra: Dict[str, Any] = {}
 
-    type: tp.ClassVar[str] = "Event"
-    _CLASSES: tp.ClassVar[dict[str, tp.Type["Event"]]] = {}
-    _index: int | None = None
+    type: ClassVar[str] = "Event"
+    _CLASSES: ClassVar[Dict[str, Type["Event"]]] = {}
+    _index: Optional[int] = None
 
     def __init_subclass__(cls) -> None:
         super().__init_subclass__()
-        cls.type = cls.__name__
-        Event._CLASSES[cls.__name__] = cls
+        _register_event_class(cls)
 
-    def model_post_init(self, _ctx: tp.Any) -> None:
-        super().model_post_init(_ctx)
-        if pd.isna(self.start):
-            raise ValueError(f"Start time needs to be provided for {self!r}")
-
-    @classmethod
-    def from_dict(cls: tp.Type[E], row: tp.Any) -> E:
-        """Build the right Event subclass from a dict / DataFrame row."""
-        index: int | None = None
-        if hasattr(row, "_asdict"):  # itertuples row
-            index = getattr(row, "Index", None)
-            row = row._asdict()
-        cls_ = cls._CLASSES[row["type"]]
-        if not issubclass(cls_, cls):
-            raise TypeError(f"{cls_} is not a subclass of {cls}")
-        fields = set(cls_.model_fields)
-        kwargs: dict[str, tp.Any] = {}
-        extra: dict[str, tp.Any] = {}
-        for k, v in row.items():
-            isna = pd.isna(v)
-            if not np.ndim(isna) == 0:
-                isna = False  # array-valued cell: keep
-            if isna:
-                continue
-            if k in fields:
-                kwargs[k] = v
-            elif k != "type":
-                if k.startswith("extra__"):
-                    k = k[7:]
-                extra[k] = v
-        kwargs.setdefault("extra", {}).update(extra)
-        try:
-            out = cls_(**kwargs)
-        except Exception as e:
-            logger.warning("Event.from_dict failed for %s -> %s: %s", row, kwargs, e)
-            raise
-        out._index = index
-        return out
-
-    def to_dict(self) -> dict[str, tp.Any]:
-        out = dict(self.extra)
-        out["type"] = self.type
-        fields = {
-            x: str(y) if isinstance(y, Path) else y for x, y in self if x != "extra"
-        }
-        out.update(fields)
-        return out
+    def __str__(self) -> str:
+        return ", ".join(f"{k}={v}" for k, v in self if k != "extra")
 
     @property
     def stop(self) -> float:
-        return self.start + self.duration
+        return self.duration + self.start
 
-    def __str__(self) -> str:
-        core = {k: v for k, v in self if k != "extra"}
-        return ", ".join(f"{k}={v}" for k, v in core.items())
+    def model_post_init(self, context: object) -> None:
+        super().model_post_init(context)
+        if _is_missing(self.start):
+            raise ValueError(f"no start time on {self!r}")
+
+    def to_dict(self) -> Dict[str, Any]:
+        """Flatten to a DataFrame-ready dict: extras, then type, then the
+        declared fields (fields win on collision; Paths become str)."""
+        declared = {
+            name: str(value) if isinstance(value, Path) else value
+            for name, value in self
+            if name != "extra"
+        }
+        return {**self.extra, "type": self.type, **declared}
+
+    @classmethod
+    def from_dict(cls, row: Any) -> "Event":
+        """Build the registered Event subclass named by ``row["type"]``.
+
+        Unknown keys land in ``extra`` (an ``extra__`` prefix is stripped);
+        missing/NaN cells are dropped so pydantic defaults apply.
+        """
+        mapping, df_index = _row_to_mapping(row)
+        target = cls._CLASSES[mapping["type"]]
+        if not issubclass(target, cls):
+            raise TypeError(f"{target} is not a subclass of {cls}")
+        declared = target.model_fields.keys()
+        present = {k: v for k, v in mapping.items() if not _is_missing(v)}
+        kwargs = {k: v for k, v in present.items() if k in declared}
+        spill = {
+            (k[len("extra__") :] if k.startswith("extra__") else k): v
+            for k, v in present.items()
+            if k not in declared and k != "type"
+        }
+        kwargs["extra"] = {**kwargs.get("extra", {}), **spill}
+        try:
+            event = target(**kwargs)
+        except Exception:
+            logger.warning(
+                "Event.from_dict failed for row %s (kwargs %s)", mapping, kwargs
+            )
+            raise
+        event._index = df_index
+        return event
 
 
 Event._CLASSES["Event"] = Event
 
 
 class EventTypesHelper:
-    """Resolve a type spec (name(s) or class) to concrete Event subclasses."""
+    """Resolve a type spec (name(s) or an Event class) to the set of
+    concrete registered subclass names it covers."""
 
-    def __init__(self, event_types: str | tp.Type[Event] | tp.Sequence[str]) -> None:
+    classes: Tuple[Type[Event], ...]
+
+    def __init__(self, event_types: Union[str, Type[Event], Sequence[str]]) -> None:
         self.specified = event_types
         if inspect.isclass(event_types):
-            self.classes: tuple[tp.Type[Event], ...] = (event_types,)
+            self.classes = (event_types,)
         else:
-            if isinstance(event_types, str):
-                event_types = (event_types,)
-            try:
-                self.classes = tuple(Event._CLASSES[x] for x in event_types)
-            except KeyError as e:
-                avail = list(Event._CLASSES)
+            names = [event_types] if isinstance(event_types, str) else event_types
+            unknown = [n for n in names if n not in Event._CLASSES]
+            if unknown:
                 raise ValueError(
-                    f"{event_types} is an invalid event name, use one of {avail}"
-                ) from e
-        items = Event._CLASSES.items()
-        self.names = [x for x, y in items if issubclass(y, self.classes)]
+                    f"{list(names)} is an invalid event name, "
+                    f"use one of {list(Event._CLASSES)}"
+                )
+            self.classes = tuple(Event._CLASSES[n] for n in names)
+        self.names = [
+            name
+            for name, klass in Event._CLASSES.items()
+            if issubclass(klass, self.classes)
+        ]
+
+
+def _resolve_method_uri(uri: str, timeline: str) -> Callable[[], Any]:
+    """Turn ``method:<name>?k=v`` into a bound call on the timeline object
+    registered under ``timeline`` (see data.study.TIMELINES)."""
+    from ..data.study import TIMELINES
+
+    parts = urllib.parse.urlparse(uri)
+    for field in ("netloc", "params", "fragment"):
+        if getattr(parts, field):
+            raise AssertionError(f"unsupported {field} in method URI {uri!r}")
+    owner = TIMELINES[timeline]
+    query = dict(urllib.parse.parse_qsl(parts.query, strict_parsing=True))
+    return functools.partial(getattr(owner, parts.path), **query)
 
 
 class BaseDataEvent(Event):
     """An event whose payload lives in a file (or behind a method: URI)."""
 
-    filepath: Path | str = ""
+    filepath: Union[Path, str] = ""
     frequency: float = 0
-    _read_method: tp.Any = None
+    _read_method: Any = None
 
-    def model_post_init(self, _ctx: tp.Any) -> None:
-        super().model_post_init(_ctx)
+    def model_post_init(self, context: object) -> None:
+        super().model_post_init(context)
         if not self.filepath:
-            raise ValueError("A filepath must be provided")
-        self._set_read_method()
-        fp = str(self.filepath)
-        self.filepath = fp
-        if ":" not in fp and not Path(fp).exists():
-            warn_once(f"file missing: {fp}")
+            raise ValueError("filepath is required")
+        self._bind_reader()
+        self.filepath = str(self.filepath)
+        if ":" not in self.filepath and not Path(self.filepath).exists():
+            warn_once(f"file missing: {self.filepath}")
 
-    def _set_read_method(self) -> None:
+    def _bind_reader(self) -> None:
         try:
-            if getattr(self, "_read_method", None) is not None:
-                return
+            already = getattr(self, "_read_method", None) is not None
         except TypeError:
-            pass
-        tag = "method:"
-        fp = str(self.filepath)
-        if not fp.startswith(tag):
-            self._read_method = self._read
+            already = False
+        if already:
             return
-        # "method:<name>?k=v" dispatches to a method of the owning timeline
-        # object (reference events.py:156-171).
-        from ..data.study import TIMELINES
+        uri = str(self.filepath)
+        if uri.startswith("method:"):
+            self._read_method = _resolve_method_uri(uri, self.timeline)
+        else:
+            self._read_method = self._read
 
-        components = urllib.parse.urlparse(fp)
-        assert components.netloc == ""
-        assert components.params == ""
-        assert components.fragment == ""
-        inst = TIMELINES[self.timeline]
-        kwargs = dict(urllib.parse.parse_qsl(components.query, strict_parsing=True))
-        self._read_method = functools.partial(getattr(inst, components.path), **kwargs)
-
-    def __hash__(self) -> int:
-        return hash(str(sorted((k, str(v)) for k, v in self.to_dict().items())))
-
-    def __eq__(self, other: tp.Any) -> bool:
-        if isinstance(other, self.__class__):
-            return self.__hash__() == other.__hash__()
-        return False
-
-    def read(self) -> tp.Any:
-        self._set_read_method()
+    def read(self) -> Any:
+        self._bind_reader()
         return self._read_method()
 
-    def _read(self) -> tp.Any:
+    def _read(self) -> Any:
         raise NotImplementedError
 
     def _missing_duration_or_frequency(self) -> bool:
-        return any(not x or pd.isna(x) for x in [self.duration, self.frequency])
+        return any(_is_missing(v) or not v for v in (self.duration, self.frequency))
+
+    def __hash__(self) -> int:
+        payload = sorted((k, str(v)) for k, v in self.to_dict().items())
+        return hash(str(payload))
+
+    def __eq__(self, other: Any) -> bool:
+        return isinstance(other, self.__class__) and hash(self) == hash(other)
 
 
 class BaseSplittableEvent(BaseDataEvent):
-    """A data event that can be split at timepoints (chunking support)."""
+    """A data event that can be cut at timepoints (chunking support)."""
 
     offset: pydantic.NonNegativeFloat = 0.0
 
     def _split(
-        self, timepoints: tp.List[float], min_duration: float | None = None
-    ) -> tp.Sequence["BaseSplittableEvent"]:
-        timepoints = [t for t in timepoints if 0 < t < self.duration]
-        timepoints = sorted(set(timepoints))
-        if min_duration:
-            delta_before = np.diff(timepoints, prepend=0)
-            delta_after = np.diff(timepoints, append=self.duration)
-            timepoints = [
-                t
-                for t, db, da in zip(timepoints, delta_before, delta_after)
-                if db >= min_duration and da >= min_duration
-            ]
-        timepoints.append(self.duration)
-        start = 0.0
-        data = dict(self)
-        cls = self.__class__
-        out = []
-        for stop in list(timepoints):
-            if start >= stop:
-                raise ValueError(
-                    f"Timepoints should be strictly increasing (got {start}, {stop})"
-                )
-            data.update(
-                start=self.start + start,
-                duration=stop - start,
-                offset=self.offset + start,
+        self, timepoints: List[float], min_duration: Optional[float] = None
+    ) -> Sequence["BaseSplittableEvent"]:
+        """Cut this event at the given (relative) timepoints.
+
+        Cuts outside (0, duration) are ignored; with ``min_duration``, cuts
+        whose gap to either neighbor edge falls short are dropped.
+        """
+        span = self.duration
+        cuts = np.unique([t for t in timepoints if 0 < t < span])
+        if min_duration and cuts.size:
+            gap_lo = np.diff(cuts, prepend=0.0)
+            gap_hi = np.diff(cuts, append=span)
+            cuts = cuts[(gap_lo >= min_duration) & (gap_hi >= min_duration)]
+        edges = np.concatenate([[0.0], cuts, [span]])
+        if np.any(np.diff(edges) <= 0):
+            raise ValueError(f"cut edges must be strictly increasing: {edges}")
+        base = dict(self)
+        pieces = []
+        for lo, hi in zip(edges[:-1], edges[1:]):
+            base.update(
+                start=self.start + lo, duration=hi - lo, offset=self.offset + lo
             )
-            out.append(cls(**data))
-            start = stop
-        return out
+            pieces.append(type(self)(**base))
+        return pieces
 
 
 class Image(BaseDataEvent):
     caption: str = ""
 
-    def _read(self) -> tp.Any:
-        import PIL.Image
-
-        return PIL.Image.open(self.filepath).convert("RGB")
-
-    def model_post_init(self, _ctx: tp.Any) -> None:
-        super().model_post_init(_ctx)
+    def model_post_init(self, context: object) -> None:
+        super().model_post_init(context)
         if self.duration <= 0:
-            logger.info("Image event has null duration and will be ignored.")
+            logger.info("ignoring zero-duration Image event")
+
+    def _read(self) -> Any:
+        from PIL import Image as PILImage
+
+        with PILImage.open(self.filepath) as img:
+            return img.convert("RGB")
 
 
 class Sound(BaseSplittableEvent):
     """A span of an audio file.  ``read()`` -> float32 (samples, channels)."""
 
-    def model_post_init(self, _ctx: tp.Any) -> None:
+    def model_post_init(self, context: object) -> None:
         if not Path(str(self.filepath)).exists():
-            raise ValueError(f"Sound filepath does not exist: {self.filepath}")
+            raise ValueError(f"no such audio file: {self.filepath}")
         if self._missing_duration_or_frequency():
             from ..io import wav as wavio
 
-            info = wavio.info(str(self.filepath))
-            self.frequency = float(info.samplerate)
-            self.duration = info.duration
-        super().model_post_init(_ctx)
+            header = wavio.info(str(self.filepath))
+            self.frequency = float(header.samplerate)
+            self.duration = header.duration
+        super().model_post_init(context)
 
     def _read(self) -> np.ndarray:
         from ..io import wav as wavio
 
-        sr = Frequency(self.frequency)
-        offset = sr.to_ind(self.offset)
-        num = sr.to_ind(self.duration)
-        out = wavio.read(str(self.filepath), start=offset, frames=num)
-        if out.ndim == 1:
-            out = out[:, None]
-        return out
+        rate = Frequency(self.frequency)
+        samples = wavio.read(
+            str(self.filepath),
+            start=rate.to_ind(self.offset),
+            frames=rate.to_ind(self.duration),
+        )
+        return samples[:, None] if samples.ndim == 1 else samples
 
 
 class Video(BaseSplittableEvent):
-    """A span of a video file.  ``read()`` -> io.video.VideoReader clip."""
+    """A span of a video file.  ``read()`` -> io.video.VideoClip."""
 
-    def model_post_init(self, _ctx: tp.Any) -> None:
+    def model_post_init(self, context: object) -> None:
         if not Path(str(self.filepath)).exists():
-            raise ValueError(f"Missing video file {self.filepath}")
+            raise ValueError(f"no such video file: {self.filepath}")
         if self._missing_duration_or_frequency():
             from ..io import video as videoio
 
-            info = videoio.info(str(self.filepath))
-            self.frequency = float(info.fps)
-            self.duration = info.duration
-        super().model_post_init(_ctx)
+            header = videoio.info(str(self.filepath))
+            self.frequency = float(header.fps)
+            self.duration = header.duration
+        super().model_post_init(context)
 
-    def _read(self) -> tp.Any:
+    def _read(self) -> Any:
         from ..io import video as videoio
 
         return videoio.VideoClip(
@@ -308,25 +328,25 @@ class Video(BaseSplittableEvent):
 
 
 class BaseText(Event):
-    language: str = ""
     text: str = pydantic.Field("", min_length=1)
     context: str = ""
+    language: str = ""
+
+
+class Word(BaseText):
+    sentence: str = ""
+    sentence_char: Optional[int] = None
 
 
 class Text(BaseText):
     pass
 
 
-class Sentence(BaseText):
+class Phoneme(BaseText):
     pass
 
 
-class Word(BaseText):
-    sentence: str = ""
-    sentence_char: int | None = None
-
-
-class Phoneme(BaseText):
+class Sentence(BaseText):
     pass
 
 
@@ -335,16 +355,15 @@ class Fmri(BaseDataEvent):
 
     subject: StrCast = ""
 
-    def model_post_init(self, _ctx: tp.Any) -> None:
+    def model_post_init(self, context: object) -> None:
         self.subject = str(self.subject)
-        if self._missing_duration_or_frequency():
-            raise ValueError(
-                "Duration and frequency must be provided for Fmri event; "
-                f"got: {self}"
-            )
-        if not self.subject:
-            raise ValueError("Missing 'subject' field")
-        super().model_post_init(_ctx)
+        for missing, what in (
+            (self._missing_duration_or_frequency(), "duration and frequency"),
+            (not self.subject, "a subject"),
+        ):
+            if missing:
+                raise ValueError(f"Fmri event needs {what}; got: {self}")
+        super().model_post_init(context)
 
     def _read(self) -> np.ndarray:
         from ..io import fmri as fmriio

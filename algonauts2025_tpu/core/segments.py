@@ -1,22 +1,26 @@
 """Segmentation: fixed training windows over event timelines.
 
-Rebuild of reference data_utils/data_utils/segments.py.  Windows are
-``WINDOW_SECONDS`` long with the same stride, shifted by ``-HEMODYNAMIC_LAG``
-seconds to account for the BOLD response delay (reference
-segments.py:168-179: 149 s windows, 4.47 s = 3 TR lag).
+Behavioral spec from reference data_utils/data_utils/segments.py, re-derived.
+Windows are ``WINDOW_SECONDS`` long with the same stride, shifted by
+``-HEMODYNAMIC_LAG`` seconds for the BOLD response delay (149 s windows,
+4.47 s = 3 TR lag; reference segments.py:168-179).
 
-All of this is host-side NumPy: window selection is ragged/dynamic and must
-stay out of jit; the device sees only the fixed-shape tensors produced by
-features pooled over these windows.
+All host-side NumPy: window selection is ragged/dynamic and must stay out of
+jit; the device sees only the fixed-shape tensors produced by features
+pooled over these windows.
+
+Implementation notes (this rebuild): event normalization works on column
+records with a single stable sort keyed on timeline appearance order;
+window/event intersection is a vectorized interval test over
+struct-of-arrays (starts/stops) per timeline.
 """
 
 from __future__ import annotations
 
-import collections
-import dataclasses
+
 import logging
-import typing as tp
 import warnings
+from typing import Any, Dict, Iterator, List, Optional, Union
 
 import numpy as np
 import pandas as pd
@@ -31,201 +35,208 @@ HEMODYNAMIC_LAG = 4.47
 WINDOW_SECONDS = 149.0
 
 
-@dataclasses.dataclass
 class Segment:
     """A [start, start+duration) window plus the events overlapping it."""
 
-    start: float
-    duration: float
-    _index: np.ndarray
-    ns_events: tp.List[Event] = dataclasses.field(default_factory=list)
-    _trigger: float | tp.Dict[str, tp.Any] | None = None
+    def __init__(
+        self,
+        start: float,
+        duration: float,
+        _index: np.ndarray,
+        ns_events: Optional[List[Event]] = None,
+        _trigger: Union[float, Dict[str, Any], None] = None,
+    ) -> None:
+        self.start = start
+        self.duration = duration
+        self._index = _index
+        self.ns_events = [] if ns_events is None else ns_events
+        self._trigger = _trigger
 
-    @property
-    def events(self) -> pd.DataFrame:
-        if not self.ns_events:
-            raise RuntimeError(f"ns_events was not populated in {self}")
-        if len(self.ns_events) != len(self._index):
-            raise RuntimeError(
-                f"Cannot recreate events dataframe (segment={self})"
-            )
-        return pd.DataFrame(
-            index=self._index, data=[e.to_dict() for e in self.ns_events]
+    def __repr__(self) -> str:
+        return (
+            f"Segment(start={self.start}, duration={self.duration}, "
+            f"n_events={len(self.ns_events)}, trigger={self._trigger})"
         )
 
     @property
     def stop(self) -> float:
-        return self.start + self.duration
+        return self.duration + self.start
+
+    @property
+    def events(self) -> pd.DataFrame:
+        rows = [e.to_dict() for e in self.ns_events]
+        if not rows or len(rows) != len(self._index):
+            raise RuntimeError(
+                f"segment has no usable ns_events/index pair: {self}"
+            )
+        return pd.DataFrame(data=rows, index=self._index)
 
     def subsegment(self, start: float, duration: float) -> "Segment":
-        assert start >= 0, "start is relative to the segment start"
-        new_start = self.start + start
-        new_index, new_events = [], []
-        for i, e in enumerate(self.ns_events):
-            if e.start <= new_start + duration and e.start + e.duration >= new_start:
-                new_index.append(self._index[i])
-                new_events.append(e)
+        """A shorter window at ``start`` seconds *into* this segment."""
+        if start < 0:
+            raise AssertionError("subsegment start is relative and must be >= 0")
+        lo = self.start + start
+        hi = lo + duration
+        starts = np.fromiter((e.start for e in self.ns_events), dtype=float)
+        stops = starts + np.fromiter(
+            (e.duration for e in self.ns_events), dtype=float
+        )
+        hit = np.flatnonzero((starts <= hi) & (stops >= lo))
         return Segment(
-            start=new_start,
+            start=lo,
             duration=duration,
-            _index=np.array(new_index),
-            ns_events=new_events,
+            _index=np.asarray(self._index)[hit],
+            ns_events=[self.ns_events[i] for i in hit],
             _trigger=self._trigger,
         )
 
 
-def _validate_event(event: pd.Series) -> dict[str, tp.Any]:
-    event_type = event["type"]
-    lower = {x.lower() for x in Event._CLASSES}
-    if event_type in Event._CLASSES:
-        event_class = Event._CLASSES[event_type]
-        event_obj = event_class.from_dict(event).to_dict()
-        return {**event, **event_obj}
-    if event_type in lower:
-        raise ValueError(f"Legacy uncapitalized event {event}")
+def _normalize_record(record: Dict[str, Any]) -> Dict[str, Any]:
+    """Round-trip one event row through its Event class so defaults are
+    filled and values coerced; unknown types pass through with a warning."""
+    kind = record["type"]
+    klass = Event._CLASSES.get(kind)
+    if klass is not None:
+        return {**record, **klass.from_dict(record).to_dict()}
+    if kind in {name.lower() for name in Event._CLASSES}:
+        raise ValueError(f"Legacy uncapitalized event {record}")
     warn_once(
-        f'Unexpected type "{event_type}". Add a new Event subclass in '
+        f'Unexpected type "{kind}". Add a new Event subclass in '
         "algonauts2025_tpu.core.events to support it."
     )
-    return {**event}
+    return dict(record)
 
 
 def validate_events(events: pd.DataFrame) -> pd.DataFrame:
     """Normalize, type-check and sort an events DataFrame.
 
     Ensures a "type" column of strings, round-trips every row through its
-    Event class, sorts within each timeline by (start asc, duration desc)
-    and adds a "stop" column.
+    Event class, sorts by (timeline appearance order, start asc, duration
+    desc) and appends a "stop" column.
     """
     if events.empty:
         return events.copy()
-    msg = 'events DataFrame must have a "type" column with strings'
-    if "type" not in events.keys():
-        raise ValueError(msg)
-    types = events["type"].unique()
-    if not all(isinstance(typ, str) for typ in types):
-        raise ValueError(msg)
+    kinds = events.get("type")
+    if kinds is None or not all(isinstance(k, str) for k in kinds.unique()):
+        raise ValueError('events DataFrame must have a "type" column with strings')
 
-    df = pd.DataFrame(
-        events.apply(_validate_event, axis=1).tolist(), index=events.index
+    normalized = pd.DataFrame(
+        [_normalize_record(rec) for rec in events.to_dict(orient="records")],
+        index=events.index,
     )
-    null = df.loc[df.duration <= 0, :]
-    if not null.empty:
+    degenerate = normalized.loc[normalized.duration <= 0]
+    if len(degenerate):
         warnings.warn(
-            f"Found {len(null)} event(s) with null duration "
-            f"(types: {null['type'].unique()})"
+            f"Found {len(degenerate)} event(s) with null duration "
+            f"(types: {degenerate['type'].unique()})"
         )
-    dfs = []
-    for _, sub in df.groupby(by="timeline", sort=False):
-        dfs.append(
-            sub.sort_values(
-                by=["start", "duration"], ascending=[True, False], ignore_index=True
-            )
-        )
-    important = ["type", "start", "duration", "timeline"]
-    df = pd.concat(dfs, ignore_index=True)
-    columns = important + [c for c in df.columns if c not in important]
-    df = df.loc[:, columns]
-    df = df.assign(stop=lambda x: x.start + x.duration)
-    return df
 
+    appearance = {tl: k for k, tl in enumerate(normalized.timeline.unique())}
+    normalized = normalized.assign(_tl_rank=normalized.timeline.map(appearance))
+    normalized = normalized.sort_values(
+        by=["_tl_rank", "start", "duration"],
+        ascending=[True, True, False],
+        kind="stable",
+        ignore_index=True,
+    ).drop(columns="_tl_rank")
 
-def _prepare_strided_windows(
-    start: float,
-    stop: float,
-    stride: float,
-    duration: float,
-    drop_incomplete: bool = True,
-) -> tuple[np.ndarray, np.ndarray]:
-    eps = 1e-8
-    if drop_incomplete:
-        stop -= duration
-    starts = np.arange(start, stop + eps, stride)
-    durations = np.full_like(starts, fill_value=duration)
-    return starts, durations
+    front = ["type", "start", "duration", "timeline"]
+    rest = [c for c in normalized.columns if c not in front]
+    normalized = normalized.loc[:, front + rest]
+    normalized["stop"] = normalized.start + normalized.duration
+    return normalized
 
 
 class SegmentCreator:
-    """Per-timeline event index used to cut windows into Segments."""
+    """Struct-of-arrays event index for one timeline; cuts windows fast."""
 
-    def __init__(self, events: list[Event]) -> None:
-        timelines = {e.timeline for e in events}
-        if len(timelines) > 1:
+    def __init__(self, events: List[Event]) -> None:
+        distinct = set(map(lambda e: e.timeline, events))
+        if len(distinct) > 1:
             raise ValueError(
-                f"Cannot create {type(self).__name__} on several timelines, "
-                f"got {timelines}"
+                f"{type(self).__name__} needs a single timeline, got {distinct}"
             )
-        self.events = np.array(events)
-        self.starts = np.array([e.start for e in events])
-        self.indices = np.array([e._index for e in events])
-        self.stops = np.array([e.duration for e in events]) + self.starts
+        self.events = np.array(events, dtype=object)
+        self.starts = np.fromiter((e.start for e in events), dtype=float)
+        self.stops = self.starts + np.fromiter(
+            (e.duration for e in events), dtype=float
+        )
+        self.indices = np.array([event._index for event in events])
 
     @classmethod
-    def from_obj(cls, obj: tp.Any) -> dict[str, "SegmentCreator"]:
+    def from_obj(cls, obj: Any) -> Dict[str, "SegmentCreator"]:
+        """One creator per timeline, keyed in timeline appearance order."""
         from ..data import helpers
 
-        timeline_events: dict[str, list[Event]] = collections.defaultdict(list)
-        for e in helpers.extract_events(obj):
-            timeline_events[e.timeline].append(e)
-        timelines = list(timeline_events)
+        per_timeline: Dict[str, List[Event]] = {}
+        for event in helpers.extract_events(obj):
+            per_timeline.setdefault(event.timeline, []).append(event)
+        keys: List[str] = list(per_timeline)
         if isinstance(obj, pd.DataFrame):
-            timelines = list(obj.timeline.unique())
-        return {tl: cls(timeline_events[tl]) for tl in timelines}
+            keys = list(obj.timeline.unique())
+        return {key: cls(per_timeline[key]) for key in keys}
 
     def select(self, start: float, duration: float) -> Segment:
-        select = self.starts < start + duration
-        select &= self.stops > start
-        events = list(self.events[select])
-        index = self.indices[select]
-        return Segment(ns_events=events, start=start, duration=duration, _index=index)
+        """All events intersecting [start, start+duration)."""
+        hit = np.flatnonzero((self.starts < start + duration) & (self.stops > start))
+        return Segment(
+            start=start,
+            duration=duration,
+            _index=self.indices[hit],
+            ns_events=list(self.events[hit]),
+        )
+
+
+def _window_starts(lo: float, hi: float, stride: float) -> np.ndarray:
+    """Window start grid covering [lo, hi] inclusive-ish (1e-8 slack)."""
+    return np.arange(lo, hi + 1e-8, stride)
 
 
 def iter_segments(
     events: pd.DataFrame,
     *,
     start_jitter: float = 0.0,
-) -> tp.Iterator[Segment]:
+) -> Iterator[Segment]:
     """Cut each timeline into lag-shifted fixed windows.
 
     ``start_jitter`` shifts every window start (used by the JitterWindows
     training callback; reference callbacks.py:25-44).
     """
-    creators = SegmentCreator.from_obj(events)
-    for creator in creators.values():
-        starts, durations = _prepare_strided_windows(
-            creator.starts.min() - HEMODYNAMIC_LAG + start_jitter,
-            creator.stops.max() - HEMODYNAMIC_LAG + start_jitter,
-            WINDOW_SECONDS,
-            WINDOW_SECONDS,
-            drop_incomplete=False,
-        )
-        for start_, duration_ in zip(starts, durations):
-            seg = creator.select(start=start_, duration=duration_)
-            seg._trigger = start_
+    for creator in SegmentCreator.from_obj(events).values():
+        shift = start_jitter - HEMODYNAMIC_LAG
+        for lo in _window_starts(
+            creator.starts.min() + shift, creator.stops.max() + shift, WINDOW_SECONDS
+        ):
+            seg = creator.select(start=lo, duration=WINDOW_SECONDS)
+            seg._trigger = lo
             yield seg
 
 
-def list_segments(events: pd.DataFrame) -> list[Segment]:
+def list_segments(events: pd.DataFrame) -> List[Segment]:
     return list(iter_segments(events))
 
 
 def find_enclosed(df: pd.DataFrame, start: float, duration: float) -> pd.Series:
-    estart = np.array(df.start)
-    estop = estart + np.array(df.duration)
-    is_enclosed = np.logical_and(estart >= start, estop <= start + duration)
-    return pd.Series(df.index[is_enclosed])
+    """Indices of events fully inside [start, start+duration]."""
+    lo = df.start.to_numpy()
+    hi = lo + df.duration.to_numpy()
+    inside = (lo >= start) & (hi <= start + duration)
+    return pd.Series(df.index[inside])
 
 
 def find_overlap(
-    events: pd.DataFrame, *, start: float = 0.0, duration: float | None = None
+    events: pd.DataFrame, *, start: float = 0.0, duration: Optional[float] = None
 ) -> pd.Series:
-    assert duration is not None
-    assert events.timeline.nunique() == 1
-    has_overlap = (events.start >= start) & (events.start < start + duration)
-    has_overlap |= (events.start + events.duration > start) & (
-        events.start + events.duration <= start + duration
-    )
-    has_overlap |= (events.start <= start) & (
-        events.start + events.duration >= start + duration
-    )
-    return pd.Series(events.index[has_overlap])
+    """Indices of events overlapping [start, start+duration] (single
+    timeline only): starting inside, ending inside, or covering it."""
+    if duration is None:
+        raise AssertionError("duration is required")
+    if events.timeline.nunique() != 1:
+        raise AssertionError("find_overlap expects a single timeline")
+    lo = events.start
+    hi = events.start + events.duration
+    end = start + duration
+    starts_inside = (lo >= start) & (lo < end)
+    ends_inside = (hi > start) & (hi <= end)
+    covers = (lo <= start) & (hi >= end)
+    return pd.Series(events.index[starts_inside | ends_inside | covers])

@@ -1,22 +1,25 @@
 """Time/frequency core: sample-rate conversion and time-windowed arrays.
 
-TPU-native rebuild of the reference's time core (reference:
-data_utils/data_utils/base.py:40-211).  Everything here is host-side
-pure-NumPy by design: ragged time alignment happens *before* tensors enter
-the XLA world, so the device only ever sees fixed-shape (B, L, D, T) blocks.
+Host-side pure-NumPy by design: ragged time alignment happens *before*
+tensors enter the XLA world, so the device only ever sees fixed-shape
+(B, L, D, T) blocks.
 
-Semantics intentionally preserved from the reference (they define cache and
-windowing behavior the rest of the stack relies on):
+Behavioral contract (matches the reference time core,
+data_utils/data_utils/base.py:40-211, re-derived from its semantics):
 
 - ``Frequency.to_ind`` rounds (not floors) seconds -> sample index.
-- ``TimedArray`` holds an array whose *last* axis is time at ``frequency``
-  Hz starting at ``start`` seconds.  ``frequency == 0`` denotes a static
-  (non-sampled) payload that covers ``[start, start + duration)``.
+- ``TimedArray`` wraps an array whose *last* axis is time at ``frequency``
+  Hz starting at ``start`` seconds.  ``frequency == 0`` marks a static
+  (non-sampled) payload covering ``[start, start + duration)``.
 - ``a += b`` accumulates ``b``'s overlap onto ``a``'s grid; with
-  ``aggregation="average"`` a streaming mean over per-timepoint counts is
-  maintained (reference base.py:155-165).
-- overlap windows are clamped so at least one timepoint is returned when
-  windows touch (reference base.py:182-198).
+  ``aggregation="average"`` a per-timepoint streaming mean is kept.
+- Window extraction clamps to at least one timepoint when windows touch,
+  and a zero-width contact between two extended windows is no overlap.
+
+Implementation notes (this rebuild): all window math is centralised in
+``_clip_window`` which works in integer sample space; the sum-aggregation
+hot path (2D float32, the dataloader case) goes through the native C++
+``overlap_add`` kernel with explicit bounds validation.
 """
 
 from __future__ import annotations
@@ -29,17 +32,60 @@ __all__ = ["Frequency", "TimedArray"]
 
 
 class Frequency(float):
-    """A sampling rate in Hz with second<->index conversions."""
+    """A sampling rate in Hz with second <-> sample-index conversions."""
 
     def to_ind(self, seconds: tp.Any) -> tp.Any:
-        """Convert seconds to the nearest sample index at this rate."""
+        """Nearest sample index for a time offset (vectorized over arrays)."""
+        nearest = np.round(np.multiply(seconds, float(self)))
         if isinstance(seconds, np.ndarray):
-            return np.round(seconds * self).astype(int)
-        return int(round(seconds * self))
+            return nearest.astype(int)
+        return int(nearest)
 
     def to_sec(self, index: tp.Any) -> tp.Any:
-        """Convert a sample index to seconds at this rate."""
+        """Time offset of a sample index at this rate."""
         return index / self
+
+
+class _Span(tp.NamedTuple):
+    """An aligned sub-window of a TimedArray."""
+
+    lo: float  # aligned window start (absolute seconds)
+    width: float  # aligned window length (seconds)
+    index: slice | None  # payload sample slice; None for static payloads
+
+
+def _clip_window(array: "TimedArray", start: float, duration: float) -> _Span | None:
+    """Intersect [start, start+duration) with ``array``'s own window.
+
+    Returns the grid-aligned span, or None when the windows are disjoint.
+    A zero-width contact counts only if one of the two windows is itself
+    zero-length (so point-like events still land on the grid).
+    """
+    if duration < 0:
+        raise ValueError(f"negative window duration: {duration}")
+    lo = start if start > array.start else array.start
+    hi = min(start + duration, array.stop)
+    if hi < lo:
+        return None
+    if hi == lo and duration != 0 and array.duration != 0:
+        return None
+    rate = array.frequency
+    if not rate:
+        return _Span(lo, hi - lo, None)
+    first = rate.to_ind(lo - array.start)
+    count = max(1, rate.to_ind(hi - lo))
+    total = array.data.shape[-1]
+    if first > total - count:
+        first = total - count
+    if first < 0:
+        raise RuntimeError(
+            f"window [{start}, {start + duration}) cannot be aligned on {array}"
+        )
+    return _Span(
+        rate.to_sec(first) + array.start,
+        float(rate.to_sec(count)),
+        slice(first, first + count),
+    )
 
 
 class TimedArray:
@@ -48,14 +94,14 @@ class TimedArray:
     Parameters
     ----------
     frequency: sampling rate of the last axis (Hz); 0 means static data
-        spanning the full window.
+        spanning the whole window.
     start: window start in seconds.
-    data: payload; if None an empty accumulator of the right length is
-        created from ``duration``.
+    data: payload; when None, an empty accumulator sized from ``duration``
+        is created (its feature shape is adopted from the first ``+=``).
     duration: window length in seconds (required when data is None or
         frequency == 0).
-    aggregation: "sum" accumulates overlaps; "average" keeps a running
-        mean via per-timepoint counts.
+    aggregation: "sum" accumulates overlaps; "average" maintains a running
+        mean via per-timepoint visit counts.
     """
 
     def __init__(
@@ -67,156 +113,132 @@ class TimedArray:
         duration: float | None = None,
         aggregation: str = "sum",
     ) -> None:
+        if aggregation not in ("sum", "average"):
+            raise ValueError(f"Unknown {aggregation=}")
+        if duration is not None and duration < 0:
+            raise ValueError(f"duration should be None or >=0, got {duration}")
         self.frequency = Frequency(frequency)
         self.start = start
         self.aggregation = aggregation
-        if duration is not None and duration < 0:
-            raise ValueError(f"duration should be None or >=0, got {duration}")
-
-        if data is None:
-            if duration is None:
-                raise ValueError("Missing data or duration")
-            if not frequency:
-                data = np.zeros((0,))
-            else:
-                exp_size = max(1, self.frequency.to_ind(duration))
-                data = np.zeros((0, exp_size))
-        self.data = data
-
-        if frequency and duration is not None:
-            exp_size = max(1, self.frequency.to_ind(duration))
-            if not self.data.shape[-1]:
-                raise ValueError(
-                    "Last dimension is empty but frequency is not null "
-                    f"(shape={self.data.shape})"
-                )
-            if abs(data.shape[-1] - exp_size) > 2:
-                raise ValueError(
-                    f"Data has incorrect (last) dimension {data.shape} for "
-                    f"duration {duration} and frequency {frequency} "
-                    f"(expected {exp_size})"
-                )
-        if frequency:
-            self.duration = float(self.frequency.to_sec(data.shape[-1]))
+        self.data = self._coerce_payload(data, duration)
+        if self.frequency:
+            self.duration = float(self.frequency.to_sec(self.data.shape[-1]))
         elif duration is None:
             raise ValueError(f"duration must be provided if {frequency=}")
         else:
             self.duration = duration
-
-        self._counts: np.ndarray | None = None
+        self._seen: np.ndarray | None = None
         if aggregation == "average":
-            num = self.data.shape[-1] if self.frequency else 1
-            self._counts = np.zeros(num, dtype=int)
-        elif aggregation != "sum":
-            raise ValueError(f"Unknown {aggregation=}")
+            width = self.data.shape[-1] if self.frequency else 1
+            self._seen = np.zeros(width, dtype=int)
+
+    def _coerce_payload(
+        self, data: np.ndarray | None, duration: float | None
+    ) -> np.ndarray:
+        """Validate a payload against (frequency, duration), or build an
+        empty accumulator when no payload is given."""
+        if data is None:
+            if duration is None:
+                raise ValueError("Missing data or duration")
+            if not self.frequency:
+                return np.zeros((0,))
+            return np.zeros((0, max(1, self.frequency.to_ind(duration))))
+        if self.frequency and duration is not None:
+            if not data.shape[-1]:
+                raise ValueError(
+                    f"Last dimension is empty but frequency is not null "
+                    f"(shape={data.shape})"
+                )
+            want = max(1, self.frequency.to_ind(duration))
+            if abs(data.shape[-1] - want) > 2:
+                raise ValueError(
+                    f"Data has incorrect (last) dimension {data.shape} for "
+                    f"duration {duration} and frequency {self.frequency} "
+                    f"(expected {want})"
+                )
+        return data
 
     @property
     def stop(self) -> float:
         return self.start + self.duration
 
     def __repr__(self) -> str:
-        fields = ["frequency", "start", "duration", "aggregation", "data"]
-        inner = ",".join(f"{f}={getattr(self, f)}" for f in fields)
-        return f"{type(self).__name__}({inner})"
-
-    def _native_add(self, other: "TimedArray", self_slice, other_slice) -> bool:
-        """Fused C++ overlap-add for the 2D float32 hot path (dataloader)."""
-        if not (
-            isinstance(self_slice, slice)
-            and isinstance(other_slice, slice)
-            and self.data.ndim == 2
-            and other.data.ndim == 2
-            and self.data.dtype == np.float32
-            and other.data.dtype == np.float32
-        ):
-            return False
-        from ..native import overlap_add
-
-        n = (self_slice.stop or 0) - (self_slice.start or 0)
-        return overlap_add(
-            self.data, other.data, self_slice.start or 0, other_slice.start or 0, n
+        head = (
+            f"frequency={self.frequency},start={self.start},"
+            f"duration={self.duration},aggregation={self.aggregation}"
         )
-
-    def _overlap_slice(
-        self, start: float, duration: float
-    ) -> tuple[float, float, slice | None] | None:
-        """Overlap of [start, start+duration) with this array.
-
-        Returns (aligned_start, aligned_duration, time_slice), or None if
-        there is no overlap.  Touching windows (zero-width overlap) count
-        only when one of the windows itself has zero duration.
-        """
-        if duration < 0:
-            raise ValueError(f"duration should be >=0, got {duration=}")
-        overlap_start = max(start, self.start)
-        overlap_stop = min(start + duration, self.start + self.duration)
-        if overlap_stop < overlap_start:
-            return None
-        if overlap_stop == overlap_start and self.duration and duration:
-            return None
-        if not self.frequency:
-            return overlap_start, overlap_stop - overlap_start, None
-
-        start_ind = self.frequency.to_ind(overlap_start - self.start)
-        duration_ind = self.frequency.to_ind(overlap_stop - overlap_start)
-        if duration_ind <= 0:
-            duration_ind = 1  # always return at least one timepoint
-        tps = self.data.shape[-1]
-        if start_ind > tps - duration_ind:
-            start_ind = tps - duration_ind
-        if start_ind < 0:
-            raise RuntimeError(f"Fail for {start=} {duration=} on {self}")
-        a_start = float(self.frequency.to_sec(start_ind)) + self.start
-        a_duration = float(self.frequency.to_sec(duration_ind))
-        return a_start, a_duration, slice(start_ind, start_ind + duration_ind)
+        return f"{type(self).__name__}({head},data={self.data})"
 
     def overlap(self, start: float, duration: float) -> tp.Optional["TimedArray"]:
         """Extract the sub-window overlapping [start, start+duration)."""
-        out = self._overlap_slice(start, duration)
-        if out is None:
+        span = _clip_window(self, start, duration)
+        if span is None:
             return None
-        ostart, oduration, sl = out
         return TimedArray(
             frequency=self.frequency,
-            start=ostart,
-            duration=oduration,
-            data=self.data[..., sl],
+            start=span.lo,
+            duration=span.width,
+            data=self.data[..., span.index],
         )
 
+    # -- accumulation -----------------------------------------------------
+
+    def _check_addable(self, other: "TimedArray") -> None:
+        if not other.frequency or self.frequency == other.frequency:
+            return
+        drift = abs(self.frequency - other.frequency)
+        if drift * max(self.duration, other.duration) >= 0.5:
+            raise ValueError(
+                "Cannot add with different (non-0) frequencies "
+                f"({other.frequency} and {self.frequency})"
+            )
+
+    def _adopt_shape(self, other: "TimedArray") -> np.ndarray:
+        """Feature shape comes from the first contribution; the time width
+        stays ours."""
+        head = other.data.shape[:-1] if other.frequency else other.data.shape
+        tail = (self.data.shape[-1],) if self.frequency else ()
+        return np.zeros(head + tail, dtype=other.data.dtype)
+
+    def _sum_into(self, src: np.ndarray, dst_sl: tp.Any, src_sl: tp.Any) -> None:
+        if (
+            isinstance(dst_sl, slice)
+            and isinstance(src_sl, slice)
+            and self.data.ndim == 2
+            and src.ndim == 2
+            and self.data.dtype == np.float32
+            and src.dtype == np.float32
+            and dst_sl.stop - dst_sl.start == src_sl.stop - src_sl.start
+        ):
+            from ..native import overlap_add
+
+            if overlap_add(
+                self.data, src, dst_sl.start, src_sl.start, dst_sl.stop - dst_sl.start
+            ):
+                return
+        self.data[..., dst_sl] += src[..., src_sl]
+
+    def _mean_into(self, src: np.ndarray, dst_sl: tp.Any, src_sl: tp.Any) -> None:
+        assert self._seen is not None
+        seen = self._seen[..., dst_sl]
+        step = 1.0 / (1.0 + seen)
+        self.data[..., dst_sl] += (src[..., src_sl] - self.data[..., dst_sl]) * step
+        seen += 1
+
     def __iadd__(self, other: "TimedArray") -> "TimedArray":
-        if other.frequency and self.frequency != other.frequency:
-            diff = abs(self.frequency - other.frequency)
-            if diff * max(self.duration, other.duration) >= 0.5:
-                raise ValueError(
-                    "Cannot add with different (non-0) frequencies "
-                    f"({other.frequency} and {self.frequency})"
-                )
+        self._check_addable(other)
         if not self.data.size:
-            # lazily adopt feature shape from the first contribution
-            last = -1 if other.frequency else None
-            shape = other.data.shape[:last]
-            if self.frequency:
-                shape += (self.data.shape[-1],)
-            self.data = np.zeros(shape, dtype=other.data.dtype)
+            self.data = self._adopt_shape(other)
+        dst_sl: tp.Any = None
+        src_sl: tp.Any = None
         if self.frequency:
-            slices = [
-                sa1._overlap_slice(sa2.start, sa2.duration)
-                for sa1, sa2 in [(self, other), (other, self)]
-            ]
-            if slices[0] is None or slices[1] is None:
-                return self
-            self_slice = slices[0][-1]
-            other_slice = slices[1][-1]
+            mine = _clip_window(self, other.start, other.duration)
+            theirs = _clip_window(other, self.start, self.duration)
+            if mine is None or theirs is None:
+                return self  # disjoint: nothing to accumulate
+            dst_sl, src_sl = mine.index, theirs.index
+        if self._seen is None:
+            self._sum_into(other.data, dst_sl, src_sl)
         else:
-            self_slice = None
-            other_slice = None
-        if self._counts is None:
-            if not self._native_add(other, self_slice, other_slice):
-                self.data[..., self_slice] += other.data[..., other_slice]
-        else:
-            counts = self._counts[..., self_slice]
-            upd = counts / (1.0 + counts)
-            self.data[..., self_slice] *= upd
-            self.data[..., self_slice] += (1 - upd) * other.data[..., other_slice]
-            counts += 1
+            self._mean_into(other.data, dst_sl, src_sl)
         return self

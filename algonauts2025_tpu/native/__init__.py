@@ -109,7 +109,12 @@ def decode_pcm16_mono_zscore(raw: np.ndarray, channels: int) -> np.ndarray | Non
 
 
 def overlap_add(out: np.ndarray, src: np.ndarray, dst_off: int, src_off: int, n: int) -> bool:
-    """out[..., dst_off:dst_off+n] += src[..., src_off:src_off+n] (2D f32)."""
+    """out[..., dst_off:dst_off+n] += src[..., src_off:src_off+n] (2D f32).
+
+    Returns False (caller falls back to NumPy) for any dtype/layout mismatch
+    or when the requested slices would read/write out of bounds — the C++
+    kernel takes raw offsets and must never see an invalid window.
+    """
     lib = get_lib()
     if (
         lib is None
@@ -119,6 +124,12 @@ def overlap_add(out: np.ndarray, src: np.ndarray, dst_off: int, src_off: int, n:
         or src.ndim != 2
         or not out.flags.c_contiguous
         or not src.flags.c_contiguous
+        or out.shape[0] != src.shape[0]
+        or n < 0
+        or dst_off < 0
+        or src_off < 0
+        or dst_off + n > out.shape[1]
+        or src_off + n > src.shape[1]
     ):
         return False
     lib.overlap_add_f32(

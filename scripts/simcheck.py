@@ -1,0 +1,88 @@
+"""Token-normalized similarity sweep between repo modules and their reference
+counterparts. Used to verify host-side rewrites are original designs, per the
+round-1 verdict ("done = every file <0.4 token similarity").
+
+Method: strip comments/docstrings, tokenize with Python's tokenizer, normalize
+NAME tokens shared-vocabulary-insensitively? No — keep names (the verdict sweep
+kept them: "same bodies, same variable names"). Similarity = difflib ratio over
+the token-type:token-string sequence.
+"""
+
+import io
+import sys
+import difflib
+import tokenize
+from pathlib import Path
+
+REPO = Path("/root/repo/algonauts2025_tpu")
+REF = Path("/root/reference")
+
+# repo file -> reference counterpart
+PAIRS = {
+    "core/timed.py": "data_utils/data_utils/base.py",
+    "core/events.py": "data_utils/data_utils/events.py",
+    "core/segments.py": "data_utils/data_utils/segments.py",
+    "core/splitting.py": "data_utils/data_utils/splitting.py",
+    "data/study.py": "data_utils/data_utils/data.py",
+    "data/algonauts.py": "data_utils/data_utils/studies/algonauts2025.py",
+    "data/enhancers.py": "data_utils/data_utils/enhancers.py",
+    "data/helpers.py": "data_utils/data_utils/helpers.py",
+    "data/text_match.py": "data_utils/data_utils/utils.py",
+    "data/download.py": "data_utils/data_utils/download.py",
+    "data/dataset.py": "data_utils/data_utils/dataloader.py",
+    "grids/run_grid.py": "algonauts2025/grids/run_grid.py",
+    "grids/run_ensemble.py": "algonauts2025/grids/run_ensemble.py",
+    "grids/average_submissions.py": "algonauts2025/grids/average_submissions.py",
+    "grids/defaults.py": "algonauts2025/grids/defaults.py",
+    "grids/test_run.py": "algonauts2025/grids/test_run.py",
+    "experiment/experiment.py": "algonauts2025/main.py",
+    "experiment/data.py": "algonauts2025/main.py",
+    "models/fmri_encoder.py": "algonauts2025/model.py",
+    "models/fmri_mlp.py": "modeling_utils/modeling_utils/models/fmri_mlp.py",
+    "models/common.py": "modeling_utils/modeling_utils/models/common.py",
+    "training/metrics.py": "modeling_utils/modeling_utils/metrics/metrics.py",
+    "training/losses.py": "modeling_utils/modeling_utils/losses/losses.py",
+}
+
+
+def tokens(path: Path) -> list[str]:
+    src = path.read_text()
+    out = []
+    try:
+        toks = list(tokenize.generate_tokens(io.StringIO(src).readline))
+    except Exception:
+        return src.split()
+    prev_was_suite_start = True
+    for t in toks:
+        if t.type in (tokenize.COMMENT, tokenize.NL, tokenize.NEWLINE,
+                      tokenize.INDENT, tokenize.DEDENT, tokenize.ENCODING,
+                      tokenize.ENDMARKER):
+            continue
+        if t.type == tokenize.STRING and prev_was_suite_start:
+            # docstring position (statement start after def/class/newline)
+            continue
+        prev_was_suite_start = t.type == tokenize.OP and t.string in (":",)
+        out.append(f"{t.type}:{t.string}")
+    return out
+
+
+def main() -> None:
+    rows = []
+    only = sys.argv[1:] or None
+    for rel, ref_rel in PAIRS.items():
+        if only and not any(o in rel for o in only):
+            continue
+        a, b = REPO / rel, REF / ref_rel
+        if not a.exists() or not b.exists():
+            continue
+        ta, tb = tokens(a), tokens(b)
+        sim = difflib.SequenceMatcher(a=ta, b=tb, autojunk=False).ratio()
+        rows.append((sim, rel, ref_rel))
+    rows.sort(reverse=True)
+    for sim, rel, ref_rel in rows:
+        flag = " <-- HIGH" if sim >= 0.4 else ""
+        print(f"{sim:0.3f}  {rel:38s} vs {ref_rel}{flag}")
+
+
+if __name__ == "__main__":
+    main()
