@@ -1,65 +1,91 @@
 """Config-driven event-DataFrame transforms (enhancer pipeline).
 
-Rebuild of reference data_utils/data_utils/enhancers.py: a discriminated
-union of pydantic transforms applied in sequence by the StudyLoader.  All
-host-side preprocessing; results are cached upstream by the study cache.
+Behavioral spec from reference data_utils/data_utils/enhancers.py,
+re-derived: a discriminated union of pydantic transforms applied in
+sequence by the StudyLoader.  All host-side preprocessing; results are
+cached upstream by the study cache.
+
+Implementation notes (this rebuild): sentence grouping is a vectorized
+boundary scan over word columns (the reference walks rows one by one);
+the registry builds its discriminated-union adapter lazily; audio is
+demuxed with the ffmpeg binary instead of moviepy.
 """
 
 from __future__ import annotations
 
 import logging
-import typing as tp
 from pathlib import Path
+from typing import (
+    Any,
+    ClassVar,
+    Dict,
+    List,
+    Literal,
+    Optional,
+    Sequence,
+    Set,
+    Tuple,
+    Union,
+)
 
 import numpy as np
 import pandas as pd
 import pydantic
+from typing_extensions import Annotated
 
 from ..core import events as ev
-from ..core import splitting
 from ..core.segments import find_enclosed
-from ..core.splitting import chunk_events
+from ..core.splitting import DeterministicSplitter, chunk_events
 from . import text_match
 
 logger = logging.getLogger(__name__)
 
 MISSING_SENTENCE = "# MISSING SENTENCE #"
 
+_WORD_TYPES = "Word"
+
 
 class BaseEnhancer(pydantic.BaseModel):
-    """Registry base: subclasses declare ``name: tp.Literal['X'] = 'X'``."""
+    """Registry base: subclasses declare ``name: Literal['X'] = 'X'`` and
+    become addressable through ``BaseEnhancer.model_validate({"name": "X"})``."""
 
     model_config = pydantic.ConfigDict(extra="forbid")
     name: str
 
-    _CLASSES: tp.ClassVar[dict[str, type["BaseEnhancer"]]] = {}
-    _discriminating_type_adapter: tp.ClassVar[pydantic.TypeAdapter]
+    _REGISTRY: ClassVar[Dict[str, type]] = {}
+    _ADAPTER: ClassVar[Optional[pydantic.TypeAdapter]] = None
 
     @classmethod
-    def __pydantic_init_subclass__(cls, **kwargs: tp.Any) -> None:
+    def __pydantic_init_subclass__(cls, **kwargs: Any) -> None:
         super().__pydantic_init_subclass__(**kwargs)
-        name = cls.__name__
-        if "Base" not in name and not name.startswith("_"):
-            if "name" not in cls.model_fields or cls.model_fields["name"].default != name:
-                raise NotImplementedError(
-                    f"Enhancer {name} needs: name: tp.Literal[{name!r}] = {name!r}"
-                )
-            BaseEnhancer._CLASSES[name] = cls
-            BaseEnhancer._discriminating_type_adapter = pydantic.TypeAdapter(
-                tp.Annotated[
-                    tp.Union[tuple(cls._CLASSES.values())],
-                    pydantic.Field(discriminator="name"),
-                ]
+        label = cls.__name__
+        if "Base" in label or label.startswith("_"):
+            return
+        spec = cls.model_fields.get("name")
+        if spec is None or spec.default != label:
+            raise NotImplementedError(
+                f"Enhancer {label} needs: name: Literal[{label!r}] = {label!r}"
             )
+        BaseEnhancer._REGISTRY[label] = cls
+        BaseEnhancer._ADAPTER = None  # rebuilt on next dispatch
+
+    @classmethod
+    def _dispatch_adapter(cls) -> pydantic.TypeAdapter:
+        if BaseEnhancer._ADAPTER is None:
+            union = Union[tuple(BaseEnhancer._REGISTRY.values())]  # type: ignore[valid-type]
+            BaseEnhancer._ADAPTER = pydantic.TypeAdapter(
+                Annotated[union, pydantic.Field(discriminator="name")]
+            )
+        return BaseEnhancer._ADAPTER
 
     @pydantic.model_validator(mode="wrap")
     @classmethod
     def _parse_into_subclass(
-        cls, v: tp.Any, handler: pydantic.ValidatorFunctionWrapHandler
+        cls, value: Any, handler: pydantic.ValidatorFunctionWrapHandler
     ) -> "BaseEnhancer":
-        if cls is BaseEnhancer:
-            return BaseEnhancer._discriminating_type_adapter.validate_python(v)
-        return handler(v)
+        if cls is not BaseEnhancer:
+            return handler(value)
+        return cls._dispatch_adapter().validate_python(value)
 
     def __call__(self, events: pd.DataFrame) -> pd.DataFrame:
         raise NotImplementedError
@@ -69,48 +95,171 @@ Enhancer = BaseEnhancer
 EnhancerConfig = BaseEnhancer
 
 
+def _word_mask(events: pd.DataFrame) -> pd.Series:
+    return events.type.isin(ev.EventTypesHelper(_WORD_TYPES).names)
+
+
+def _invalid_sentence(values: Sequence[Any]) -> List[bool]:
+    return [not (isinstance(s, str) and s) for s in values]
+
+
 class AddText(BaseEnhancer):
     """Concatenate Word events into one re-punctuated Text per timeline."""
 
-    name: tp.Literal["AddText"] = "AddText"
+    name: Literal["AddText"] = "AddText"
+
+    @staticmethod
+    def _punctuate(raw: str) -> str:
+        parts = text_match.split_sentences(raw)
+        return ". ".join(p.text.strip().capitalize().rstrip(".") for p in parts)
 
     def __call__(self, events: pd.DataFrame) -> pd.DataFrame:
         if "Text" in events.type.unique():
             logger.info("Text already present in events dataframe, skipping")
             return events
-        text_events = []
-        for _, df in events.groupby("timeline"):
-            words = df.loc[df.type == "Word"].copy()
-            if words.empty:
+        fresh = []
+        for _, group in events.groupby("timeline"):
+            words = group.loc[group.type == "Word"]
+            if not len(words):
                 continue
-            words["stop"] = words["start"] + words["duration"]
-            text = " ".join(words.text.values)
-            sents = text_match.split_sentences(text)
-            sentences = [s.text.strip().capitalize().rstrip(".") for s in sents]
-            punctuated = ". ".join(sentences)
-            text_event = words.iloc[0].to_dict()
-            text_event |= dict(
+            first = words.start.min()
+            last = (words.start + words.duration).max()
+            row = words.iloc[0].to_dict()
+            row.update(
                 type="Text",
-                start=words.start.min(),
-                duration=words.stop.max() - words.start.min(),
-                timeline=df.timeline.values[0],
-                text=punctuated,
+                start=first,
+                duration=last - first,
+                timeline=group.timeline.iloc[0],
+                text=self._punctuate(" ".join(words.text.to_list())),
             )
-            text_events.append(text_event)
-        return pd.concat([events, pd.DataFrame(text_events)], ignore_index=True)
+            fresh.append(row)
+        return pd.concat([events, pd.DataFrame(fresh)], ignore_index=True)
+
+
+class AddTextToWords(AddText):
+    """Alias of AddText kept for config compatibility (reference
+    enhancers.py:115-116)."""
+
+    name: Literal["AddTextToWords"] = "AddTextToWords"  # type: ignore[assignment]
+
+
+def _sentence_groups(words: pd.DataFrame) -> np.ndarray:
+    """Group id per word row: a new group starts at a timeline change, a
+    sentence-text change, or a non-increasing sentence_char.  The final row
+    never opens a group of its own (reference loop quirk: the last word is
+    absorbed into the previous sentence)."""
+    n = len(words)
+    timelines = words.timeline.to_numpy()
+    starts = words.start.to_numpy()
+    sentences = words.sentence.to_numpy(dtype=object)
+    chars = pd.to_numeric(words.sentence_char, errors="coerce").to_numpy(dtype=float)
+
+    same_timeline = timelines[1:] == timelines[:-1]
+    if np.any(same_timeline & (starts[1:] < starts[:-1])):
+        raise ValueError("Words are not sorted within a timeline")
+
+    opens = np.zeros(n, dtype=bool)
+    opens[0] = True
+    if n > 1:
+        changed = ~same_timeline
+        changed |= np.array(
+            [sentences[i] != sentences[i - 1] for i in range(1, n)]
+        )
+        both_known = ~np.isnan(chars[1:]) & ~np.isnan(chars[:-1])
+        changed |= both_known & (chars[1:] <= chars[:-1])
+        opens[1:] = changed
+        opens[-1] = False
+    return np.cumsum(opens)
+
+
+def _extract_sentences(events: pd.DataFrame) -> List[ev.Sentence]:
+    """Group annotated words into Sentence events (vectorized equivalent of
+    reference enhancers.py:205-245)."""
+    words = events.loc[_word_mask(events), :]
+    if not len(words):
+        return []
+    eps = 1e-6
+    groups = _sentence_groups(words)
+    out: List[ev.Sentence] = []
+    starts = words.start.to_numpy()
+    stops = starts + words.duration.to_numpy()
+    sentences = words.sentence.to_numpy(dtype=object)
+    timelines = words.timeline.to_numpy()
+    for gid in np.unique(groups):
+        member = np.flatnonzero(groups == gid)
+        a, b = member[0], member[-1]
+        label = sentences[a]
+        if not (isinstance(label, str) and label):
+            label = MISSING_SENTENCE
+        out.append(
+            ev.Sentence(
+                start=starts[a] - eps,
+                duration=stops[b] - starts[a] + 2 * eps,
+                timeline=timelines[a],
+                text=label,
+            )
+        )
+    return out
 
 
 class AddSentenceToWords(BaseEnhancer):
     """Fuzzy-align Words to the Text transcript; annotate sentence spans."""
 
-    name: tp.Literal["AddSentenceToWords"] = "AddSentenceToWords"
+    name: Literal["AddSentenceToWords"] = "AddSentenceToWords"
     max_unmatched_ratio: float = 0.0
     override_sentences: bool = False
 
-    def model_post_init(self, _ctx: tp.Any) -> None:
-        super().model_post_init(_ctx)
-        if self.max_unmatched_ratio < 0 or self.max_unmatched_ratio >= 1:
+    def model_post_init(self, context: object) -> None:
+        super().model_post_init(context)
+        if not 0 <= self.max_unmatched_ratio < 1:
             raise ValueError("max_unmatched_ratio must be >=0 and <1")
+
+    def _check_unmatched(self, events: pd.DataFrame) -> None:
+        words = events.loc[_word_mask(events), :]
+        if not len(words):
+            return
+        bad = sum(_invalid_sentence(words.sentence))
+        ratio = bad / len(words)
+        if ratio > self.max_unmatched_ratio:
+            raise RuntimeError(
+                f"Ratio of unmatched words is {ratio:.4f} on {len(words)} words "
+                f"while max_unmatched_ratio={self.max_unmatched_ratio}"
+            )
+
+    def _annotate_one_timeline(self, events: pd.DataFrame) -> pd.DataFrame:
+        contexts = events.loc[events.type == "Text"]
+        events = events.copy(deep=True)
+        word_rows = _word_mask(events)
+        events.loc[:, "sentence_char"] = np.nan
+        events["sentence"] = pd.Series("", index=events.index, dtype=object)
+
+        harvested: List[Dict[str, Any]] = []
+        for context in contexts.itertuples():
+            enclosed = find_enclosed(
+                events, start=context.start, duration=context.duration
+            )
+            inside = events.loc[enclosed]
+            sel = inside.index[inside.type.isin(ev.EventTypesHelper(_WORD_TYPES).names)]
+            if not len(sel):
+                raise ValueError("No word overlapping with context")
+            language = getattr(context, "language", None)
+            if not isinstance(language, str):
+                raise ValueError(f"Need language for Text field {context}")
+            matched = pd.DataFrame(
+                text_match.match_text_words(
+                    context.text, events.loc[sel].text.tolist(), language=language
+                ),
+                index=sel,
+            )
+            events.loc[sel, matched.columns] = matched
+            subject = getattr(context, "subject", None)
+            for sentence in _extract_sentences(events):
+                record = sentence.to_dict()
+                if subject is not None:
+                    record["subject"] = subject
+                harvested.append(record)
+        keep = [r for r in harvested if r["text"] != MISSING_SENTENCE]
+        return pd.concat([events, pd.DataFrame(keep)], ignore_index=True)
 
     def __call__(self, events: pd.DataFrame) -> pd.DataFrame:
         if "Sentence" in events.type.unique():
@@ -118,250 +267,208 @@ class AddSentenceToWords(BaseEnhancer):
                 logger.warning("Sentence already present in events dataframe")
                 return events
             events = events[events.type != "Sentence"]
-        if "timeline" in events.columns and len(events.timeline.unique()) > 1:
-            out = [
-                self(sub) for _, sub in events.groupby("timeline", sort=False)
+        if "timeline" in events.columns and events.timeline.nunique() > 1:
+            parts = [
+                self(group) for _, group in events.groupby("timeline", sort=False)
             ]
-            return pd.concat(out, ignore_index=True)
-
-        contexts = events.loc[events.type == "Text"]
-        events = events.copy(deep=True)
-        wtypes = ev.EventTypesHelper("Word")
-        words = events[events.type.isin(wtypes.names)]
-        events.loc[:, "sentence_char"] = np.nan
-        events["sentence"] = ""
-        events["sentence"] = events["sentence"].astype(object)
-
-        sentences: list[dict] = []
-        for context in contexts.itertuples():
-            encl = find_enclosed(events, start=context.start, duration=context.duration)
-            sub = events.loc[encl]
-            sel = sub[sub.type.isin(wtypes.names)].index
-            if not len(sel):
-                raise ValueError("No word overlapping with context")
-            wordseq = words.loc[sel].text.tolist()
-            lang = getattr(context, "language", None)
-            if not isinstance(lang, str):
-                raise ValueError(f"Need language for Text field {context}")
-            info = pd.DataFrame(
-                text_match.match_text_words(context.text, wordseq, language=lang),
-                index=sel,
-            )
-            events.loc[sel, info.columns] = info
-            context_sentences = [s.to_dict() for s in _extract_sentences(events)]
-            subject = getattr(context, "subject", None)
-            if subject is not None:
-                for s in context_sentences:
-                    s["subject"] = subject
-            sentences.extend(context_sentences)
-        sentence_df = pd.DataFrame(
-            [s for s in sentences if s["text"] != MISSING_SENTENCE]
-        )
-        events = pd.concat([events, sentence_df], ignore_index=True)
-        events = events.reset_index(drop=True)
-
-        words = events[events.type.isin(wtypes.names)]
-        if len(words) == 0:
-            return events
-        ratio = sum(
-            not s or not isinstance(s, str) for s in words.sentence
-        ) / len(words)
-        if ratio > self.max_unmatched_ratio:
-            raise RuntimeError(
-                f"Ratio of unmatched words is {ratio:.4f} on {len(words)} words "
-                f"while max_unmatched_ratio={self.max_unmatched_ratio}"
-            )
-        return events
+            return pd.concat(parts, ignore_index=True)
+        annotated = self._annotate_one_timeline(events).reset_index(drop=True)
+        self._check_unmatched(annotated)
+        return annotated
 
 
-def _extract_sentences(events: pd.DataFrame) -> tp.List[ev.Sentence]:
-    """Group annotated words into Sentence events (reference enhancers.py:205-245)."""
-    wtypes = ev.EventTypesHelper("Word")
-    words_df = events.loc[events.type.isin(wtypes.names), :]
-    sentences: list[ev.Sentence] = []
-    words: tp.List[tp.Any] = []
-    eps = 1e-6
-    for k, word in enumerate(words_df.itertuples(index=False)):
-        if words and words[-1].timeline == word.timeline:
-            if word.start < words[-1].start:
-                raise ValueError("Words are not sorted within a timeline")
-        sentence_end = False
-        if k == len(words_df) - 1:
-            sentence_end = True
-            words.append(word)
-        if words:
-            sentence_end |= words[-1].timeline != word.timeline
-            sentence_end |= word.sentence != words[-1].sentence
-            wc, lc = word.sentence_char, words[-1].sentence_char
-            if not (pd.isna(wc) or pd.isna(lc)):
-                sentence_end |= wc <= lc
-            if sentence_end:
-                w0 = words[0]
-                text = w0.sentence
-                if not (isinstance(text, str) and text):
-                    text = MISSING_SENTENCE
-                sentences.append(
-                    ev.Sentence(
-                        start=w0.start - eps,
-                        duration=words[-1].start + words[-1].duration - w0.start + 2 * eps,
-                        timeline=w0.timeline,
-                        text=text,
-                    )
-                )
-                words = []
-        words.append(word)
-    return sentences
+def _merge_sentences(
+    sentences: List[ev.Sentence],
+    min_duration: Optional[float] = None,
+    min_words: Optional[int] = None,
+) -> List[List[ev.Sentence]]:
+    """Greedily coalesce consecutive sentences until each bucket reaches the
+    duration/word-count floor; a timeline change always opens a bucket."""
+    buckets: List[List[ev.Sentence]] = []
+    for sentence in sentences:
+        if not buckets:
+            buckets.append([sentence])
+            continue
+        head, tail = buckets[-1][0], buckets[-1][-1]
+        ripe = True
+        if min_duration is not None:
+            ripe &= sentence.start - head.start >= min_duration
+        if min_words is not None:
+            ripe &= sum(len(s.text.split()) for s in buckets[-1]) >= min_words
+        if ripe or tail.timeline != sentence.timeline:
+            buckets.append([sentence])
+        else:
+            buckets[-1].append(sentence)
+    return buckets
 
 
 class AssignSentenceSplit(BaseEnhancer):
     """Deterministically split sentence groups into train/val/test."""
 
-    name: tp.Literal["AssignSentenceSplit"] = "AssignSentenceSplit"
-    min_duration: float | None = None
-    min_words: int | None = None
-    ratios: tp.Tuple[float, float, float] = (0.8, 0.1, 0.1)
+    name: Literal["AssignSentenceSplit"] = "AssignSentenceSplit"
+    min_duration: Optional[float] = None
+    min_words: Optional[int] = None
+    ratios: Tuple[float, float, float] = (0.8, 0.1, 0.1)
     seed: int = 0
     max_unmatched_ratio: float = 0.0
 
-    def model_post_init(self, _ctx: tp.Any) -> None:
-        super().model_post_init(_ctx)
-        if not sum(self.ratios) == 1:
+    def model_post_init(self, context: object) -> None:
+        super().model_post_init(context)
+        if sum(self.ratios) != 1:
             raise ValueError("Split ratios must sum to 1")
 
-    def __call__(self, events: pd.DataFrame) -> pd.DataFrame:
-        dropped_timeline = False
-        if "timeline" not in events.columns:
-            events["timeline"] = "#foo#"
-            dropped_timeline = True
-        wtypes = ev.EventTypesHelper("Word")
-        words_df = events.loc[events.type.isin(wtypes.names), :]
-        ratio = sum(
-            not s or not isinstance(s, str) for s in words_df.sentence
-        ) / len(words_df)
-        if ratio > self.max_unmatched_ratio:
-            raise RuntimeError(
-                f"Ratio of words with no sentence match is {ratio:.2f} "
-                f"while max_unmatched_ratio={self.max_unmatched_ratio}"
-            )
-        sentences = _extract_sentences(events)
-        merged = _merge_sentences(
-            sentences, min_duration=self.min_duration, min_words=self.min_words
-        )
-        ratios = dict(train=self.ratios[0], val=self.ratios[1], test=self.ratios[2])
-        ratios = {x: y for x, y in ratios.items() if y > 0}
-        if len(ratios) == 1:
-            events.loc[events.type.isin(wtypes.names), "split"] = list(ratios)[0]
-            if dropped_timeline:
-                events = events.drop("timeline", axis=1)
-            return events
-        splitter = splitting.DeterministicSplitter(ratios, seed=self.seed)
-        undef = "undefined"
-        affectations: tp.Dict[tp.Any, tp.Any] = {MISSING_SENTENCE: undef}
-        groups: tp.Dict[str, tp.Set[str]] = {}
-        for part in merged:
-            string = "".join(s.text for s in part)
-            if string not in affectations:
-                affectations[string] = splitter(string)
-            split = affectations[string]
-            for seq in part:
-                groups.setdefault(seq.text, set()).add(string)
-                if affectations.setdefault(seq.text, split) != split:
-                    affectations[seq.text] = undef
+    def _assignments(self, merged: List[List[ev.Sentence]]) -> Dict[Any, Any]:
+        """Map each sentence text to a split; sentences whose merged groups
+        disagree become "undefined" (they leak across splits otherwise)."""
+        live = {k: v for k, v in zip(("train", "val", "test"), self.ratios) if v > 0}
+        splitter = DeterministicSplitter(live, seed=self.seed)
+        verdicts: Dict[Any, Any] = {MISSING_SENTENCE: "undefined"}
+        seen_groups: Dict[str, Set[str]] = {}
+        for bucket in merged:
+            key = "".join(s.text for s in bucket)
+            if key not in verdicts:
+                verdicts[key] = splitter(key)
+            for sentence in bucket:
+                seen_groups.setdefault(sentence.text, set()).add(key)
+                if verdicts.setdefault(sentence.text, verdicts[key]) != verdicts[key]:
+                    verdicts[sentence.text] = "undefined"
                     logger.warning(
                         "Sequence split %r set to undefined (conflicting groups: %s)",
-                        seq.text,
-                        groups[seq.text],
+                        sentence.text,
+                        seen_groups[sentence.text],
                     )
-        valid = ~(np.logical_or(events.sentence.isnull(), events.sentence == ""))
-        events.loc[valid, "split"] = (
-            events.loc[valid].sentence.apply(str).apply(lambda x: affectations[x])
-        )
-        events.loc[
-            np.logical_and(~valid, events.type.isin(wtypes.names)), "split"
-        ] = undef
-        if dropped_timeline and tuple(events.timeline.unique()) == ("#foo#",):
+        return verdicts
+
+    def __call__(self, events: pd.DataFrame) -> pd.DataFrame:
+        synthetic_timeline = "timeline" not in events.columns
+        if synthetic_timeline:
+            events["timeline"] = "#foo#"
+        word_rows = _word_mask(events)
+        words = events.loc[word_rows, :]
+        bad_ratio = sum(_invalid_sentence(words.sentence)) / len(words)
+        if bad_ratio > self.max_unmatched_ratio:
+            raise RuntimeError(
+                f"Ratio of words with no sentence match is {bad_ratio:.2f} "
+                f"while max_unmatched_ratio={self.max_unmatched_ratio}"
+            )
+        live = [r for r in self.ratios if r > 0]
+        if len(live) == 1:
+            only = ("train", "val", "test")[list(self.ratios).index(live[0])]
+            events.loc[word_rows, "split"] = only
+        else:
+            merged = _merge_sentences(
+                _extract_sentences(events),
+                min_duration=self.min_duration,
+                min_words=self.min_words,
+            )
+            verdicts = self._assignments(merged)
+            has_sentence = ~(events.sentence.isnull() | (events.sentence == ""))
+            events.loc[has_sentence, "split"] = [
+                verdicts[str(s)] for s in events.loc[has_sentence].sentence
+            ]
+            events.loc[~has_sentence & word_rows, "split"] = "undefined"
+        if synthetic_timeline and tuple(events.timeline.unique()) == ("#foo#",):
             events = events.drop("timeline", axis=1)
         return events
+
+
+class _ContextState:
+    """Rolling left-context accumulator shared across words of a timeline."""
+
+    def __init__(self, keep_full_history: bool) -> None:
+        self.keep_full_history = keep_full_history
+        self.history: List[str] = []
+        self.last: Any = None
+
+    def flush(self) -> None:
+        self.history = []
+
+    def advance(self, word: Any, split_field: str) -> None:
+        """Update history given the transition last -> word."""
+        prev = self.last
+        if prev is None:
+            return
+        if word.sentence != prev.sentence:
+            wc, lc = word.sentence_char, prev.sentence_char
+            if not (pd.isna(wc) or pd.isna(lc)) and wc <= lc:
+                if self.keep_full_history:
+                    self.history.append(prev.sentence)
+                if split_field and getattr(prev, split_field, "") != getattr(
+                    word, split_field, ""
+                ):
+                    self.flush()
+        if prev.timeline != word.timeline:
+            self.flush()
+        elif word.start < prev.start:
+            raise ValueError(
+                f"Words are not in increasing order ({word} after {prev})"
+            )
 
 
 class AddContextToWords(BaseEnhancer):
     """Rolling left context for each word (caps at max_context_len words)."""
 
-    name: tp.Literal["AddContextToWords"] = "AddContextToWords"
+    name: Literal["AddContextToWords"] = "AddContextToWords"
     sentence_only: bool = True
-    max_context_len: int | None = None
+    max_context_len: Optional[int] = None
     split_field: str = "split"
 
     def __call__(self, events: pd.DataFrame) -> pd.DataFrame:
         if hasattr(events, "context"):
             events.context = events.context.fillna("").astype(str)
-        wtypes = ev.EventTypesHelper("Word")
-        words = events.loc[events.type.isin(wtypes.names), :]
-        past_sentences: tp.List[str] = []
-        last_word: tp.Any = None
-        contexts: list[str] = []
+        word_rows = _word_mask(events)
+        words = events.loc[word_rows, :]
         sfield = self.split_field
         if sfield and sfield not in words.columns:
             raise ValueError(f"split_field {sfield!r} is not part of dataframe columns")
+
+        state = _ContextState(keep_full_history=not self.sentence_only)
+        contexts: List[str] = []
         for word in words.itertuples(index=False):
             sent = word.sentence
             if not (isinstance(sent, str) and sent):
-                if sfield and last_word is not None:
-                    if getattr(last_word, sfield, "") != getattr(word, sfield, ""):
-                        past_sentences = []
+                if sfield and state.last is not None:
+                    if getattr(state.last, sfield, "") != getattr(word, sfield, ""):
+                        state.flush()
                 contexts.append("")
-                last_word = None
+                state.last = None
                 continue
-            if last_word is not None:
-                if word.sentence != last_word.sentence:
-                    wc, lc = word.sentence_char, last_word.sentence_char
-                    if not (pd.isna(wc) or pd.isna(lc)) and wc <= lc:
-                        if not self.sentence_only:
-                            past_sentences.append(last_word.sentence)
-                        if sfield:
-                            if getattr(last_word, sfield, "") != getattr(word, sfield, ""):
-                                past_sentences = []
-                if last_word.timeline != word.timeline:
-                    past_sentences = []
-                elif word.start < last_word.start:
-                    raise ValueError(
-                        f"Words are not in increasing order ({word} after {last_word})"
-                    )
+            state.advance(word, sfield)
             if word.sentence_char is None or np.isnan(word.sentence_char):
                 contexts.append("")
                 continue
-            last_word = word
-            last_char = float(word.sentence_char) + len(word.text)
-            context = "".join(past_sentences) + word.sentence[: int(last_char)]
+            state.last = word
+            upto = int(float(word.sentence_char) + len(word.text))
+            rolling = "".join(state.history) + word.sentence[:upto]
             if self.max_context_len is not None:
-                context = " ".join(context.split(" ")[-self.max_context_len - 1 :])
-            contexts.append(context)
-        events.loc[events.type.isin(wtypes.names), "context"] = contexts
+                rolling = " ".join(rolling.split(" ")[-self.max_context_len - 1 :])
+            contexts.append(rolling)
+        events.loc[word_rows, "context"] = contexts
         return events
 
 
 class RemoveMissing(BaseEnhancer):
     """Drop events whose ``field`` is null/empty."""
 
-    name: tp.Literal["RemoveMissing"] = "RemoveMissing"
-    event_types: str | tp.Sequence[str] = "Word"
+    name: Literal["RemoveMissing"] = "RemoveMissing"
+    event_types: Union[str, Sequence[str]] = "Word"
     field: str = "context"
 
     def __call__(self, events: pd.DataFrame) -> pd.DataFrame:
         if self.field not in events.columns:
             logger.warning("Field %s not in events dataframe, skipping", self.field)
             return events
-        names = ev.EventTypesHelper(self.event_types).names
-        data = events.loc[:, self.field]
-        missing = np.logical_or(data.isnull(), data == "")
-        return events.loc[np.logical_or(~events.type.isin(names), ~missing)]
+        affected = events.type.isin(ev.EventTypesHelper(self.event_types).names)
+        column = events.loc[:, self.field]
+        empty = column.isnull() | (column == "")
+        return events.loc[~(affected & empty)]
 
 
 class ChunkEvents(BaseEnhancer):
-    name: tp.Literal["ChunkEvents"] = "ChunkEvents"
-    event_type_to_chunk: tp.Literal["Sound", "Video"]
-    event_type_to_use: str | None = None
-    min_duration: float | None = None
+    name: Literal["ChunkEvents"] = "ChunkEvents"
+    event_type_to_chunk: Literal["Sound", "Video"]
+    event_type_to_use: Optional[str] = None
+    min_duration: Optional[float] = None
     max_duration: float = np.inf
 
     def __call__(self, events: pd.DataFrame) -> pd.DataFrame:
@@ -374,83 +481,50 @@ class ChunkEvents(BaseEnhancer):
         )
 
 
-class ExtractAudioFromVideo(BaseEnhancer):
-    """Create Sound events for each Video's audio track.
-
-    If a ``.wav`` sibling of the video already exists it is used directly;
-    otherwise the audio is demuxed via the ffmpeg binary when available.
-    (The reference used moviepy for the same job, enhancers.py:430-459.)
-    """
-
-    name: tp.Literal["ExtractAudioFromVideo"] = "ExtractAudioFromVideo"
-
-    def __call__(self, events: pd.DataFrame) -> pd.DataFrame:
-        video_events = events.loc[events.type == "Video"]
-        if len(video_events) == 0:
-            return events
-        events_to_add = []
-        for video_event in video_events.itertuples():
-            audio_filepath = Path(video_event.filepath).with_suffix(".wav")
-            if not audio_filepath.exists():
-                if not _demux_audio(Path(video_event.filepath), audio_filepath):
-                    logger.warning(
-                        "No audio available for %s (no .wav sibling, no ffmpeg)",
-                        video_event.filepath,
-                    )
-                    continue
-            audio_event = video_event._asdict()
-            audio_event.pop("Index", None)
-            audio_event.update(
-                type="Sound", filepath=str(audio_filepath), frequency=pd.NA
-            )
-            events_to_add.append(audio_event)
-        events = pd.concat([events, pd.DataFrame(events_to_add)], ignore_index=True)
-        return events.reset_index(drop=True)
-
-
 def _demux_audio(video_path: Path, wav_path: Path) -> bool:
+    """Demux a video's audio track to WAV via the ffmpeg binary."""
     import shutil
     import subprocess
 
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         return False
+    argv = [ffmpeg, "-y", "-i", str(video_path), "-vn", "-acodec", "pcm_s16le",
+            str(wav_path)]
     try:
-        subprocess.run(
-            [ffmpeg, "-y", "-i", str(video_path), "-vn", "-acodec", "pcm_s16le",
-             str(wav_path)],
-            check=True,
-            capture_output=True,
-        )
-        return wav_path.exists()
+        subprocess.run(argv, check=True, capture_output=True)
     except subprocess.CalledProcessError:
         return False
+    return wav_path.exists()
 
 
-def _merge_sentences(
-    sentences: tp.List[ev.Sentence],
-    min_duration: float | None = None,
-    min_words: int | None = None,
-) -> tp.List[tp.List[ev.Sentence]]:
-    out: tp.List[tp.List[ev.Sentence]] = []
-    for s in sentences:
-        new = True
-        if out:
-            if min_duration is not None:
-                new &= s.start - out[-1][0].start >= min_duration
-            if min_words is not None:
-                new &= sum(len(x.text.split()) for x in out[-1]) >= min_words
-        if not new:
-            new |= out[-1][-1].timeline != s.timeline
-        if new:
-            out.append([s])
-        else:
-            out[-1].append(s)
-    return out
+class ExtractAudioFromVideo(BaseEnhancer):
+    """Create Sound events for each Video's audio track.
 
+    A ``.wav`` sibling of the video is used directly when present;
+    otherwise the audio is demuxed via the ffmpeg binary when available.
+    (The reference used moviepy for the same job, enhancers.py:430-459.)
+    """
 
-class AddTextToWords(AddText):
-    """Alias of AddText kept for config compatibility (reference
-    enhancers.py:115-116)."""
+    name: Literal["ExtractAudioFromVideo"] = "ExtractAudioFromVideo"
 
-    name: tp.Literal["AddTextToWords"] = "AddTextToWords"
+    def __call__(self, events: pd.DataFrame) -> pd.DataFrame:
+        videos = events.loc[events.type == "Video"]
+        if not len(videos):
+            return events
+        soundtracks = []
+        for record in videos.to_dict(orient="records"):
+            wav_path = Path(record["filepath"]).with_suffix(".wav")
+            if not wav_path.exists() and not _demux_audio(
+                Path(record["filepath"]), wav_path
+            ):
+                logger.warning(
+                    "No audio available for %s (no .wav sibling, no ffmpeg)",
+                    record["filepath"],
+                )
+                continue
+            track = dict(record)
+            track.update(type="Sound", filepath=str(wav_path), frequency=pd.NA)
+            soundtracks.append(track)
+        out = pd.concat([events, pd.DataFrame(soundtracks)], ignore_index=True)
+        return out.reset_index(drop=True)

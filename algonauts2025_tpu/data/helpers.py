@@ -1,102 +1,120 @@
 """Event extraction and feature preparation drivers.
 
-Rebuild of reference data_utils/data_utils/helpers.py:18-106.
+Behavioral spec from reference data_utils/data_utils/helpers.py:18-106,
+re-derived: ``extract_events`` normalizes any event container (DataFrame,
+Segment list, Event list, dict) into a flat list of Event objects with an
+optional type filter; ``prepare_features`` runs each feature's bulk
+``prepare`` pass, overlapping externally-scheduled features in threads.
 """
 
 from __future__ import annotations
 
-import concurrent.futures
 import logging
-import typing as tp
+from concurrent.futures import Future, ThreadPoolExecutor, as_completed
+from typing import Any, Dict, List, Optional, Sequence, Type, Union
 
 import pandas as pd
 
-from ..core import events as events_mod
-from ..core import segments as segments_mod
+from ..core.events import Event, EventTypesHelper
+from ..core.segments import Segment
 
 logger = logging.getLogger(__name__)
 
-TypesParam = tp.Union[
-    str, tp.Sequence[str], tp.Type[events_mod.Event], events_mod.EventTypesHelper
-]
+TypesParam = Union[str, Sequence[str], Type[Event], EventTypesHelper]
 
 
-def extract_events(
-    obj: tp.Any, types: TypesParam | None = None
-) -> list[events_mod.Event]:
-    """Normalize DataFrame/Segment/Event containers into a list of Events."""
-    helper: events_mod.EventTypesHelper | None = None
-    if isinstance(types, events_mod.EventTypesHelper):
-        helper = types
-    elif types is not None:
-        helper = events_mod.EventTypesHelper(types)
+def _as_helper(types: Optional[TypesParam]) -> Optional[EventTypesHelper]:
+    if types is None or isinstance(types, EventTypesHelper):
+        return types
+    return EventTypesHelper(types)
 
+
+def _events_from_frame(
+    df: pd.DataFrame, helper: Optional[EventTypesHelper]
+) -> List[Event]:
+    """DataFrame rows -> Event objects, skipping unregistered types."""
+    if helper is not None:
+        df = df.loc[df["type"].isin(helper.names)]
+    strays = set(df["type"]) - Event._CLASSES.keys()
+    if strays:
+        logger.warning("dropping rows with unregistered event types: %s", strays)
+        df = df.loc[~df["type"].isin(strays)]
+    events = []
+    for df_index, record in zip(df.index, df.to_dict(orient="records")):
+        event = Event.from_dict(record)
+        event._index = df_index
+        events.append(event)
+    return events
+
+
+def _dedup_segment_events(segments: Sequence[Segment]) -> List[Event]:
+    """Each distinct Event object once, in first-seen order."""
+    seen: Dict[int, Event] = {}
+    for segment in segments:
+        for event in segment.ns_events:
+            seen.setdefault(id(event), event)
+    return list(seen.values())
+
+
+def _as_event_list(obj: Any) -> List[Event]:
+    """Coerce any supported container shape into a flat list of Events."""
     if isinstance(obj, (list, tuple)):
-        if not obj:
-            return []
-        if isinstance(obj[0], events_mod.Event):
-            if helper is not None:
-                obj = [e for e in obj if isinstance(e, helper.classes)]
-            return list(obj)
+        items = list(obj)
+        if items and isinstance(items[0], Segment):
+            items = _dedup_segment_events(items)
+        head = items[0] if items else None
+        if head is not None and not isinstance(head, Event):
+            raise NotImplementedError(f"unsupported event list payload: {type(head)}")
+        return items
+    if isinstance(obj, Event):
+        return [obj]
+    if isinstance(obj, dict):
+        return [Event.from_dict(obj)]
+    raise NotImplementedError(f"unsupported event container: {type(obj)}")
+
+
+def extract_events(obj: Any, types: Optional[TypesParam] = None) -> List[Event]:
+    """Normalize DataFrame/Segment/Event containers into a list of Events."""
+    helper = _as_helper(types)
     if isinstance(obj, pd.DataFrame):
-        if helper is not None:
-            obj = obj.loc[obj.type.isin(helper.names), :]
-        unknown = set(obj.type) - set(events_mod.Event._CLASSES)
-        if unknown:
-            logger.warning("Ignoring unknown event types: %s", unknown)
-            obj = obj.loc[~obj.type.isin(unknown), :]
-        num = len(obj)
-        iterable = (
-            (obj.iloc[k, :] for k in range(num)) if num <= 2 else obj.itertuples()
-        )
-        out = [events_mod.Event.from_dict(r) for r in iterable]
-        for i, e in zip(obj.index, out):
-            e._index = i
-        return out
-    if isinstance(obj, events_mod.Event):
-        obj = [obj]
-    elif isinstance(obj, dict):
-        obj = [events_mod.Event.from_dict(obj)]
-    if not isinstance(obj, (list, tuple)):
-        raise NotImplementedError(f"Conversion of {type(obj)} is not supported")
-    if not obj:
-        return []
-    if isinstance(obj[0], segments_mod.Segment):
-        event_dict: dict[int, events_mod.Event] = {}
-        for segment in obj:
-            event_dict.update({id(e): e for e in segment.ns_events})
-        obj = list(event_dict.values())
-    if not isinstance(obj[0], events_mod.Event):
-        raise NotImplementedError(f"Unexpected list of {type(obj[0])}")
-    return extract_events(obj, types=helper)
+        return _events_from_frame(obj, helper)
+    items = _as_event_list(obj)
+    if helper is None:
+        return items
+    return [e for e in items if isinstance(e, helper.classes)]
 
 
 def prepare_features(
-    features: list[tp.Any] | dict[str, tp.Any],
-    events: tp.Any,
+    features: Union[List[Any], Dict[str, Any]],
+    events: Any,
 ) -> None:
-    """Run prepare() for each feature; remote-placed features in threads."""
+    """Run ``prepare()`` for every feature.
+
+    Features whose infra places them on an external cluster are submitted
+    to a thread pool first so their remote work overlaps the local passes
+    (reference helpers.py:66-106 semantics).
+    """
     events = extract_events(events)
-    feature_list = list(features.values()) if isinstance(features, dict) else features
-    remote = [
-        f
-        for f in feature_list
-        if getattr(getattr(f, "infra", None), "cluster", None) == "external"
-    ]
-    local = [f for f in feature_list if f not in remote]
-    with concurrent.futures.ThreadPoolExecutor() as executor:
-        futures = {}
-        for feature in remote:
-            fut = executor.submit(feature.prepare, events)
-            futures[fut] = type(feature).__name__
-        for feature in local:
+    if isinstance(features, dict):
+        features = list(features.values())
+    todo = list(features)
+
+    def _is_external(feature: Any) -> bool:
+        infra = getattr(feature, "infra", None)
+        return getattr(infra, "cluster", None) == "external"
+
+    with ThreadPoolExecutor() as pool:
+        pending: Dict[Future, str] = {}
+        for feature in todo:
+            if _is_external(feature):
+                pending[pool.submit(feature.prepare, events)] = type(feature).__name__
+        for feature in todo:
+            if _is_external(feature):
+                continue
             logger.info("Preparing feature: %s", type(feature).__name__)
             feature.prepare(events)
-        for future in concurrent.futures.as_completed(futures):
-            try:
-                future.result()
-            except Exception as e:
-                logger.warning(
-                    "Error preparing feature %s: %s", futures[future], e
-                )
-                raise
+        for done in as_completed(pending):
+            exc = done.exception()
+            if exc is not None:
+                logger.warning("Error preparing feature %s: %s", pending[done], exc)
+                raise exc

@@ -1,20 +1,22 @@
 """Study loading: timeline discovery -> event DataFrames -> enhancer chain.
 
-Rebuild of reference data_utils/data_utils/data.py.  A study is a set of
-(subject, timeline) recordings; each timeline loads its raw events, the
-StudyLoader concatenates them, runs the enhancer pipeline and caches the
-result (parquet) keyed by config hash.
+Behavioral spec from reference data_utils/data_utils/data.py, re-derived.
+A study is a set of (subject, timeline) recordings; each timeline loads its
+raw events, the StudyLoader concatenates them, runs the enhancer pipeline
+and caches both per-timeline and final frames (parquet) keyed by config
+hash.
 
 The ``TIMELINES`` registry lets ``method:`` URIs inside events dispatch
-reads back to their owning timeline object (reference data.py:36,84).
+reads back to their owning timeline object.
 """
 
 from __future__ import annotations
 
+import hashlib
 import logging
-import typing as tp
-from collections import OrderedDict
+import re
 from pathlib import Path
+from typing import Any, ClassVar, Dict, Iterator, List, Optional, Type, Union, final
 
 import pandas as pd
 import pydantic
@@ -27,29 +29,29 @@ from .enhancers import Enhancer
 
 logger = logging.getLogger(__name__)
 
-PathLike = tp.Union[str, Path]
+PathLike = Union[str, Path]
 
-TIMELINES: tp.Dict[str, "BaseData"] = {}
+#: timeline name -> owning BaseData (method: URI dispatch table)
+TIMELINES: Dict[str, "BaseData"] = {}
 
-_STUDIES: tp.Dict[str, tp.Type["BaseData"]] = {}
+_STUDIES: Dict[str, Type["BaseData"]] = {}
 
 
-def _compress_string(file_: str) -> str:
-    import hashlib
-    import re
+def _compress_string(raw: str) -> str:
+    """Filesystem-safe short name; output is identical to the reference's
+    scheme (timeline names are cache keys and must stay stable)."""
+    raw = str(raw)
 
-    def hash_(s: str) -> str:
+    def _h10(s: str) -> str:
         return hashlib.sha256(s.encode()).hexdigest()[:10]
 
-    file_ = str(file_)
-    fname = Path(file_).name
-    valid = re.sub(r"[^a-zA-Z0-9.\-_]", "", fname)
-    if len(fname) > 70:
-        valid = "_".join([valid[:20], hash_(fname), valid[-20:]])
-    folder = str(Path(file_).parent)
-    if folder != "." or valid != fname:
-        valid = f"{hash_(file_)}_{valid}"
-    return valid
+    name = Path(raw).name
+    safe = re.sub(r"[^a-zA-Z0-9.\-_]", "", name)
+    if len(name) > 70:
+        safe = "_".join([safe[:20], _h10(name), safe[-20:]])
+    if str(Path(raw).parent) != "." or safe != name:
+        safe = f"{_h10(raw)}_{safe}"
+    return safe
 
 
 class BaseData(pydantic.BaseModel):
@@ -59,57 +61,59 @@ class BaseData(pydantic.BaseModel):
     path: PathLike
     timeline: str = ""
 
-    version: tp.ClassVar[str] = "v1"
-    study: tp.ClassVar[str] = ""
+    version: ClassVar[str] = "v1"
+    study: ClassVar[str] = ""
 
     def __init_subclass__(cls) -> None:
         super().__init_subclass__()
         _STUDIES[cls.__name__] = cls
 
-    def model_post_init(self, _ctx: tp.Any) -> None:
-        super().model_post_init(_ctx)
+    def _auto_timeline_name(self) -> str:
+        """<ClassName>_<field>-<value>_... over all fields except path."""
+        skip = {"path", "timeline"}
+        parts = [type(self).__name__] + [
+            f"{name}-{getattr(self, name)}"
+            for name in type(self).model_fields
+            if name not in skip
+        ]
+        return _compress_string("_".join(parts))
+
+    def model_post_init(self, context: object) -> None:
+        super().model_post_init(context)
         if not self.timeline:
-            excludes = ("path", "timeline")
-            timeline = type(self).__name__
-            for name in type(self).model_fields:
-                if name in excludes:
-                    continue
-                timeline += f"_{name}-{getattr(self, name)}"
-            self.timeline = _compress_string(timeline)
+            self.timeline = self._auto_timeline_name()
         TIMELINES[self.timeline] = self
 
     @classmethod
-    def _iter_timelines(cls, path: Path) -> tp.Iterator["BaseData"]:
+    def _iter_timelines(cls, path: Path) -> Iterator["BaseData"]:
         raise NotImplementedError
 
-    @tp.final
+    @final
     @classmethod
-    def iter_timelines(cls, path: PathLike) -> tp.Iterator["BaseData"]:
-        path = Path(path)
-        path.mkdir(parents=True, exist_ok=True)
+    def iter_timelines(cls, path: PathLike) -> Iterator["BaseData"]:
+        root = Path(path)
+        root.mkdir(parents=True, exist_ok=True)
         study = cls.__name__
-        if path.name.lower() != study.lower():
-            for name in (study, study.lower()):
-                if (path / name).exists():
-                    path = path / name
-                    break
-        found = False
-        for tl in cls._iter_timelines(path):
-            found = True
-            yield tl
-        if not found:
-            raise RuntimeError(f"No timeline found for {study} in {path}")
+        if root.name.lower() != study.lower():
+            nested = [root / study, root / study.lower()]
+            root = next((p for p in nested if p.exists()), root)
+        empty = True
+        for timeline in cls._iter_timelines(root):
+            empty = False
+            yield timeline
+        if empty:
+            raise RuntimeError(f"No timeline found for {study} in {root}")
 
     def _load_events(self) -> pd.DataFrame:
         raise NotImplementedError
 
-    @tp.final
+    @final
     def load(self) -> pd.DataFrame:
         events = self._load_events()
-        for col in ["subject", "timeline"]:
-            if col in events:
-                raise ValueError(f"Column {col} already exists in events dataframe")
-            events[col] = getattr(self, col)
+        for column in ("subject", "timeline"):
+            if column in events:
+                raise ValueError(f"Column {column} already exists in events dataframe")
+            events[column] = getattr(self, column)
         events["study"] = type(self).__name__
         return validate_events(events)
 
@@ -118,10 +122,17 @@ class StudyInfra(pydantic.BaseModel):
     """Caching config for the study build (parquet event cache)."""
 
     model_config = pydantic.ConfigDict(extra="forbid")
-    folder: str | Path | None = None
-    mode: tp.Literal["cached", "force"] = "cached"
+    folder: Union[str, Path, None] = None
+    mode: str = "cached"
     version: str = "1"
-    cluster: tp.Optional[str] = None
+    cluster: Optional[str] = None
+
+    @pydantic.field_validator("mode")
+    @classmethod
+    def _known_mode(cls, v: str) -> str:
+        if v not in ("cached", "force"):
+            raise ValueError(f"unknown study cache mode {v!r}")
+        return v
 
 
 class StudyLoader(pydantic.BaseModel):
@@ -131,44 +142,49 @@ class StudyLoader(pydantic.BaseModel):
 
     path: PathLike
     study: str = "Algonauts2025"
-    query: str | None = None
-    enhancers: tp.List[Enhancer] | OrderedDict[str, Enhancer] = []
+    query: Optional[str] = None
+    enhancers: Union[List[Enhancer], Dict[str, Enhancer]] = []
     infra: StudyInfra = StudyInfra()
     cache_all_timelines: bool = True
 
-    _timelines: tp.List[BaseData] | None = None
+    _timelines: Optional[List[BaseData]] = None
 
-    def _exclude_from_cache_uid(self) -> tp.List[str]:
+    def _exclude_from_cache_uid(self) -> List[str]:
         return ["path", "query", "cache_all_timelines"]
 
-    def study_cls(self) -> tp.Type[BaseData]:
+    def study_cls(self) -> Type[BaseData]:
         from . import algonauts  # noqa: F401  (registers the study)
 
         return _STUDIES[self.study]
 
-    def iter_timelines(self) -> tp.Iterator[BaseData]:
+    def iter_timelines(self) -> Iterator[BaseData]:
         if self._timelines is None:
             self._timelines = list(self.study_cls().iter_timelines(self.path))
         else:
-            for tl in self._timelines:
-                TIMELINES[tl.timeline] = tl
+            # refresh the registry: a fresh process (or cleared registry)
+            # must still resolve method: URIs
+            TIMELINES.update({tl.timeline: tl for tl in self._timelines})
         return iter(self._timelines)
 
     def study_summary(self, apply_query: bool = True) -> pd.DataFrame:
-        out = pd.DataFrame([dict(tl) for tl in self.iter_timelines()])
-        out["subject"] = out.subject.apply(lambda x: f"{self.study}/{x}")
-        for n in ("subject_index", "timeline_index"):
-            if n in out.columns:
-                raise RuntimeError(f"Study dataframes may not contain {n}")
-        groups = out.groupby("subject")
-        out.loc[:, "subject_index"] = groups.ngroup()
-        out.loc[:, "subject_timeline_index"] = groups.cumcount()
-        out.loc[:, "timeline_index"] = out.index
+        """One row per timeline with subject/timeline indices, optionally
+        narrowed by the configured pandas query."""
+        summary = pd.DataFrame([dict(tl) for tl in self.iter_timelines()])
+        summary["subject"] = self.study + "/" + summary.subject.astype(str)
+        clashes = {"subject_index", "timeline_index"} & set(summary.columns)
+        if clashes:
+            raise RuntimeError(f"Study dataframes may not contain {clashes}")
+        by_subject = summary.groupby("subject")
+        summary = summary.assign(
+            subject_index=by_subject.ngroup(),
+            subject_timeline_index=by_subject.cumcount(),
+            timeline_index=summary.index,
+        )
         if apply_query and self.query is not None:
-            out = out.query(self.query)
-        return out
+            summary = summary.query(self.query)
+        return summary
 
-    def _store(self) -> FrameStore | None:
+    def _store(self) -> Optional[FrameStore]:
         if self.infra.folder is None:
             return None
         uid = config_uid(self, version=self.infra.version)
@@ -177,43 +193,45 @@ class StudyLoader(pydantic.BaseModel):
             store.clear()
         return store
 
-    def _load_timeline(self, tl: BaseData, store: FrameStore | None) -> pd.DataFrame:
+    def _selected_timelines(self) -> List[BaseData]:
+        timelines = list(self.iter_timelines())
+        if self.query is None:
+            return timelines
+        chosen = self.study_summary(apply_query=False).query(self.query)
+        return [timelines[i] for i in chosen.index]
+
+    def _load_one(self, tl: BaseData, store: Optional[FrameStore]) -> pd.DataFrame:
         TIMELINES[tl.timeline] = tl
         if store is not None and tl.timeline in store:
             return store[tl.timeline]
-        out = tl.load()
-        out.subject = f"{self.study}/{tl.subject}"
+        frame = tl.load()
+        frame.subject = f"{self.study}/{tl.subject}"
         if store is not None:
-            store[tl.timeline] = out
-        return out
+            store[tl.timeline] = frame
+        return frame
+
+    def _enhancer_chain(self) -> List[Enhancer]:
+        if isinstance(self.enhancers, dict):
+            return list(self.enhancers.values())
+        return list(self.enhancers)
 
     def build(self) -> pd.DataFrame:
         """Discover timelines, load+cache raw events, run enhancers."""
-        timelines = list(self.iter_timelines())
-        store = self._store()
-        sub = timelines
-        if self.query is not None:
-            summary = self.study_summary(apply_query=False)
-            selected = summary.query(self.query)
-            sub = [timelines[i] for i in selected.index]
-        if not sub:
+        selected = self._selected_timelines()
+        if not selected:
             raise RuntimeError(f"No timeline found for {self.study} ({self.query=})")
+        store = self._store()
 
-        # cache the enhanced result keyed by the query + enhancer config
+        # the enhanced result is cached keyed by the query (enhancer config
+        # is already part of the store uid)
         final_key = f"built-{self.query}"
         if store is not None and final_key in store:
-            events = store[final_key]
-            # restore timeline registry for method: URIs
-            return validate_events(events)
+            return validate_events(store[final_key])
 
-        frames = [self._load_timeline(tl, store) for tl in sub]
-        events = pd.concat(frames).reset_index(drop=True)
-        enhancers = (
-            list(self.enhancers.values())
-            if isinstance(self.enhancers, dict)
-            else list(self.enhancers)
-        )
-        for enhancer in enhancers:
+        events = pd.concat(
+            [self._load_one(tl, store) for tl in selected]
+        ).reset_index(drop=True)
+        for enhancer in self._enhancer_chain():
             events = enhancer(events)
         events = validate_events(events)
         if store is not None:

@@ -22,40 +22,44 @@ _ABBREV = {
 }
 
 
+def _encode_as_text(A: tp.Sequence, B: tp.Sequence) -> tuple[str, str]:
+    """Map two symbol sequences onto one shared character alphabet so the
+    string edit-distance machinery can align them.  Any bijection works
+    (the aligner only tests equality)."""
+    alphabet: dict = {}
+    for symbol in list(A) + list(B):
+        alphabet.setdefault(symbol, len(alphabet))
+    return (
+        "".join(chr(alphabet[s]) for s in A),
+        "".join(chr(alphabet[s]) for s in B),
+    )
+
+
 def match_list(A, B, on_replace: str = "delete"):
-    """Align two sequences via Levenshtein editops; returns matched index
-    pairs (A_sel, B_sel).  Same contract as the reference's match_list."""
-    from Levenshtein import editops
+    """Align two sequences; returns matched index pairs (A_sel, B_sel).
+
+    Pairs come from the equal blocks of an optimal edit script (plus the
+    replace blocks when ``on_replace == "keep"``).  Same contract as the
+    reference's match_list (data_utils utils.py:25-59), implemented over
+    merged opcode blocks instead of per-position editops.
+    """
+    if on_replace not in ("delete", "keep"):
+        raise NotImplementedError(f"unknown on_replace={on_replace!r}")
+    from Levenshtein import opcodes
 
     if not isinstance(A, str):
-        unique = np.unique(np.concatenate([np.asarray(A), np.asarray(B)]))
-        label_encoder = {k: v for v, k in enumerate(unique)}
-
-        def to_unicode(array) -> str:
-            return "".join(chr(label_encoder[x]) for x in array)
-
-        A = to_unicode(A)
-        B = to_unicode(B)
-
-    changes = editops(A, B)
-    B_sel = np.arange(len(B)).astype(float)
-    A_sel = np.arange(len(A)).astype(float)
-    for type_, val_a, val_b in changes:
-        if type_ == "insert":
-            B_sel[val_b] = np.nan
-        elif type_ == "delete":
-            A_sel[val_a] = np.nan
-        elif on_replace == "delete":
-            A_sel[val_a] = np.nan
-            B_sel[val_b] = np.nan
-        elif on_replace == "keep":
-            pass
-        else:
-            raise NotImplementedError
-    B_sel = B_sel[~np.isnan(B_sel)]
-    A_sel = A_sel[~np.isnan(A_sel)]
-    assert len(B_sel) == len(A_sel)
-    return A_sel.astype(int), B_sel.astype(int)
+        A, B = _encode_as_text(A, B)
+    keep = {"equal"} | ({"replace"} if on_replace == "keep" else set())
+    a_idx: list[int] = []
+    b_idx: list[int] = []
+    for tag, a0, a1, b0, b1 in opcodes(A, B):
+        if tag in keep:
+            a_idx.extend(range(a0, a1))
+            b_idx.extend(range(b0, b1))
+    out_a = np.asarray(a_idx, dtype=int)
+    out_b = np.asarray(b_idx, dtype=int)
+    assert out_a.size == out_b.size
+    return out_a, out_b
 
 
 @dataclasses.dataclass

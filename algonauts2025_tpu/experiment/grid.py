@@ -57,32 +57,41 @@ def run_grid(
 
     logger.info("Launching %d tasks", len(grid_product))
 
+    def _expand(params: dict) -> ConfDict | None:
+        job_name = ConfDict(params).to_uid()
+        config = ConfDict(base_config)
+        config.update(params)
+        folder = base_folder / exp_name / job_name
+        if folder.exists():
+            logger.info("%s already exists.", folder)
+            if overwrite and not dry_run:
+                if interactive:
+                    print(f"Folder {folder} exists. Overwrite? (y/n)")
+                    if input().lower() != "y":
+                        return None
+                shutil.rmtree(folder)
+                folder.mkdir()
+        config["infra.folder"] = str(folder)
+        config["infra.mode"] = infra_mode
+        for key in job_name_keys or []:
+            config.update({key: str(job_name)})
+        return config
+
+    if dry_run:
+        # enumerate configs without instantiating experiments (no data access)
+        out_configs = [c for c in map(_expand, grid_product) if c is not None]
+        logger.info("Dry run: %d configs.", len(out_configs))
+        return out_configs
+
     template = exp_cls(**ConfDict(base_config).to_dict())
     template.infra.mode = infra_mode
-
-    out_configs: list[ConfDict] = []
-    with template.infra.job_array(allow_empty=dry_run) as tasks:
+    out_configs = []
+    with template.infra.job_array(allow_empty=True) as tasks:
         for params in grid_product:
-            job_name = ConfDict(params).to_uid()
-            config = ConfDict(base_config)
-            config.update(params)
-            folder = base_folder / exp_name / job_name
-            if folder.exists():
-                logger.info("%s already exists.", folder)
-                if overwrite and not dry_run:
-                    if interactive:
-                        print(f"Folder {folder} exists. Overwrite? (y/n)")
-                        if input().lower() != "y":
-                            continue
-                    shutil.rmtree(folder)
-                    folder.mkdir()
-            config["infra.folder"] = str(folder)
-            config["infra.mode"] = infra_mode
-            if job_name_keys is not None:
-                for key in job_name_keys:
-                    config.update({key: str(job_name)})
-            if not dry_run:
-                tasks.append(exp_cls(**config.to_dict()))
+            config = _expand(params)
+            if config is None:
+                continue
+            tasks.append(exp_cls(**config.to_dict()))
             out_configs.append(config)
     logger.info("Done.")
     return out_configs

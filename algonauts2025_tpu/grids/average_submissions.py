@@ -1,18 +1,27 @@
-"""Ensemble submission averaging (reference grids/average_submissions.py).
+"""Ensemble submission averaging.
 
-Loads all per-run submission zips under a grid folder, optionally selects
-the k most diverse predictors on a prediction correlation matrix, and
-writes a softmax-weighted (per-run score or per-voxel pearson) average
-submission.  Pure NumPy host-side post-processing.
+Behavioral spec from reference grids/average_submissions.py, re-derived:
+load every per-run submission zip under a grid folder, optionally keep the
+k most diverse predictors (greedy on the prediction correlation matrix),
+and write a weighted-average submission.  Pure NumPy host-side
+post-processing.
+
+Deliberate divergence from the reference: with ``per_voxel_weights`` the
+per-voxel pearson softmax is taken over *runs* (axis 0), so the weights of
+the contributing runs sum to 1 at every voxel.  The reference softmaxes
+over voxels (dim=1), which does not produce convex per-voxel combinations
+— the weighted sum there is scaled by an arbitrary per-run constant.  We
+keep the sensible normalization and note the difference here.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
+import typing as tp
 import zipfile
-from collections import defaultdict
-from concurrent.futures import ThreadPoolExecutor, as_completed
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -22,49 +31,92 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["average_submissions", "select_diverse_subset", "get_k_most_diverse_indices"]
 
+#: submission payload: subject -> chunk -> (time, voxels) predictions
+Predictions = tp.Dict[str, tp.Dict[str, np.ndarray]]
+
+
+@dataclasses.dataclass
+class RunArtifacts:
+    """Everything one grid run contributes to the ensemble."""
+
+    predictions: Predictions
+    metrics: pd.DataFrame
+    pearson: tp.Optional[np.ndarray]  # per-voxel validation r
+
+    @property
+    def score(self) -> float:
+        return float(self.metrics["val/pearson"].item())
+
 
 def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
-    x = x - x.max(axis=axis, keepdims=True)
-    e = np.exp(x)
-    return e / e.sum(axis=axis, keepdims=True)
+    shifted = np.exp(x - x.max(axis=axis, keepdims=True))
+    return shifted / shifted.sum(axis=axis, keepdims=True)
 
 
 def select_diverse_subset(corr: np.ndarray, k: int) -> list[int]:
     """Greedy min-total-|corr| selection of k indices."""
-    n = corr.shape[0]
-    selected = [int(np.argmin(np.sum(np.abs(corr), axis=0)))]
-    while len(selected) < k:
-        candidates = sorted(set(range(n)) - set(selected))
-        scores = [
-            (c, sum(abs(corr[c, s]) for s in selected)) for c in candidates
-        ]
-        selected.append(min(scores, key=lambda x: x[1])[0])
-    return selected
+    chosen = [int(np.argmin(np.abs(corr).sum(axis=0)))]
+    while len(chosen) < k:
+        cost = np.abs(corr[:, chosen]).sum(axis=1)
+        cost[chosen] = np.inf
+        chosen.append(int(np.argmin(cost)))
+    return chosen
 
 
-def get_k_most_diverse_indices(predictions: list[dict], k: int) -> np.ndarray:
-    preds = []
-    first_sub = next(iter(predictions[0]))
-    for chunk in predictions[0][first_sub]:
-        preds.append(np.array([data[first_sub][chunk] for data in predictions]))
-    stacked = np.concatenate(preds, axis=1).reshape(len(predictions), -1)
-    corr = np.corrcoef(stacked)
+def _stack_runs(predictions: tp.List[Predictions]) -> np.ndarray:
+    """(n_runs, flat) matrix over the first subject's chunks."""
+    first_subject = next(iter(predictions[0]))
+    blocks = [
+        np.array([run[first_subject][chunk] for run in predictions])
+        for chunk in predictions[0][first_subject]
+    ]
+    return np.concatenate(blocks, axis=1).reshape(len(predictions), -1)
+
+
+def get_k_most_diverse_indices(predictions: tp.List[Predictions], k: int) -> np.ndarray:
+    corr = np.corrcoef(_stack_runs(predictions))
     return np.array(select_diverse_subset(corr, k))
 
 
-def _load_submission(path: str):
+def _read_run(submission_zip: str) -> tp.Optional[RunArtifacts]:
+    folder = Path(submission_zip).parent
     try:
-        with zipfile.ZipFile(path) as zf:
-            name = zf.namelist()[0]
-            with zf.open(name) as f:
-                submission = np.load(f, allow_pickle=True).item()
+        with zipfile.ZipFile(submission_zip) as zf:
+            member = zf.namelist()[0]
+            with zf.open(member) as fh:
+                predictions = np.load(fh, allow_pickle=True).item()
     except Exception:
-        logger.warning("Error loading submission from %s", path)
+        logger.warning("Error loading submission from %s", submission_zip)
         return None
-    metrics = pd.read_csv(path.replace("submission.zip", "metrics.csv"))
-    pearson_path = path.replace("submission.zip", "pearson.npy")
-    pearson = np.load(pearson_path) if os.path.exists(pearson_path) else None
-    return submission, metrics, pearson
+    pearson_file = folder / "pearson.npy"
+    return RunArtifacts(
+        predictions=predictions,
+        metrics=pd.read_csv(folder / "metrics.csv"),
+        pearson=np.load(pearson_file) if pearson_file.exists() else None,
+    )
+
+
+def _discover(grid_path: Path, max_runs: tp.Optional[int]) -> tp.List[str]:
+    found: tp.List[str] = []
+    for child in sorted(os.listdir(grid_path)):
+        candidate = grid_path / child / "submission.zip"
+        if candidate.exists():
+            found.append(str(candidate))
+        if max_runs is not None and len(found) >= max_runs:
+            break
+    return found
+
+
+def _ensemble_weights(
+    runs: tp.List[RunArtifacts], per_voxel: bool, temperature: float
+) -> np.ndarray:
+    """(n_runs, 1, 1) scalar or (n_runs, 1, n_voxels) per-voxel weights,
+    broadcastable against stacked (n_runs, time, voxels) predictions."""
+    if per_voxel:
+        stacked = np.stack([r.pearson for r in runs]) / temperature
+        return _softmax(stacked, axis=0)[:, None, :]
+    scores = np.array([r.score for r in runs])
+    return _softmax(scores / temperature)[:, None, None]
 
 
 def average_submissions(
@@ -75,53 +127,38 @@ def average_submissions(
     max_runs: int | None = None,
     k_most_diverse: int | None = None,
 ) -> Path:
+    """Combine all run submissions under ``grid_path`` into one zip."""
     grid_path = Path(grid_path)
-    paths = []
-    for folder in sorted(os.listdir(grid_path)):
-        if max_runs is not None and len(paths) == max_runs:
-            break
-        sub = grid_path / folder / "submission.zip"
-        if sub.exists():
-            paths.append(str(sub))
+    paths = _discover(grid_path, max_runs)
     logger.info("Found %d submissions", len(paths))
     if not paths:
         raise RuntimeError(f"No submissions under {grid_path}")
 
-    predictions, scores, pearsons = [], [], []
-    with ThreadPoolExecutor(max_workers=10) as ex:
-        futures = {ex.submit(_load_submission, p): p for p in paths}
-        for fut in as_completed(futures):
-            out = fut.result()
-            if out is None:
-                continue
-            predictions.append(out[0])
-            scores.append(out[1])
-            pearsons.append(out[2])
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        runs = [r for r in pool.map(_read_run, paths) if r is not None]
 
     if k_most_diverse is not None:
-        idx = get_k_most_diverse_indices(predictions, k_most_diverse)
-        predictions = [predictions[i] for i in idx]
-        scores = [scores[i] for i in idx]
-        pearsons = [pearsons[i] for i in idx]
+        picked = get_k_most_diverse_indices([r.predictions for r in runs],
+                                            k_most_diverse)
+        runs = [runs[i] for i in picked]
 
-    if per_voxel_weights:
-        stacked = np.stack(pearsons) / temperature  # (n_runs, n_voxels)
-        weights = _softmax(stacked, axis=0)[:, None, :]  # broadcast over time
-    else:
-        vals = np.array([s["val/pearson"].item() for s in scores])
-        weights = _softmax(vals / temperature)[:, None, None]
+    weights = None
+    if weigh_by_score:
+        weights = _ensemble_weights(runs, per_voxel_weights, temperature)
 
-    averaged: dict[str, dict[str, np.ndarray]] = defaultdict(dict)
-    for sub in predictions[0].keys():
-        for chunk in predictions[0][sub].keys():
-            preds = np.array([data[sub][chunk] for data in predictions])
-            if weigh_by_score:
-                averaged[sub][chunk] = np.sum(preds * weights, axis=0)
+    combined: tp.Dict[str, tp.Dict[str, np.ndarray]] = {}
+    reference_run = runs[0].predictions
+    for subject, chunks in reference_run.items():
+        combined[subject] = {}
+        for chunk in chunks:
+            stacked = np.array([r.predictions[subject][chunk] for r in runs])
+            if weights is None:
+                combined[subject][chunk] = stacked.mean(axis=0)
             else:
-                averaged[sub][chunk] = np.mean(preds, axis=0)
+                combined[subject][chunk] = (stacked * weights).sum(axis=0)
 
     out_path = grid_path / "submission.npy"
-    np.save(out_path, dict(averaged))  # type: ignore[arg-type]
+    np.save(out_path, combined)  # type: ignore[arg-type]
     with zipfile.ZipFile(out_path.with_suffix(".zip"), "w") as zipf:
         zipf.write(out_path, arcname=out_path.name)
     logger.info("Saved average submission to %s", out_path.with_suffix(".zip"))

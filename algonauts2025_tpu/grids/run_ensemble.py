@@ -1,38 +1,23 @@
-"""Model-soup ensemble fan-out (reference grids/run_ensemble.py).
+"""Model-soup ensemble fan-out (parity with reference
+grids/run_ensemble.py config values).
 
-Samples ``n_randomly_sampled`` configs from the soup grid (layers, loss,
-aggregation, dropout, subject embedding) and launches one run per config;
-combine afterwards with grids.average_submissions.
+    python -m algonauts2025_tpu.grids.run_ensemble [--n-models 1000]
+
+Samples configs from the soup grid (layers, loss, aggregation, dropout,
+subject embedding) and launches one run per sample; combine afterwards with
+grids.average_submissions.
 """
 
 from __future__ import annotations
 
-from ..config import ConfDict
-from ..experiment import Experiment
-from ..experiment.grid import run_grid
-from .defaults import PROJECT_NAME, SAVEDIR, default_config
+from .run_grid import LAYER_CHOICES
+from ._launch import launch_sweep, sweep_parser
 
-GRID_NAME = "model_soup"
+SWEEP = "model_soup"
 
-update = {
-    "infra": {
-        "cluster": None,
-        "folder": SAVEDIR,
-        "job_name": PROJECT_NAME,
-    },
-    "wandb_config.group": GRID_NAME,
-    "save_checkpoints": False,
-    "seed": None,
-    "patience": None,
-}
-
-grid = {
-    "data.layers": [
-        [0, 0.5, 1],
-        [0.5, 0.75, 1.0],
-        [0.5, 1.0],
-        [0, 0.2, 0.4, 0.6, 0.8, 1.0],
-    ],
+#: the soup's sampling space (reference run_ensemble.py:27-53 values)
+SOUP_GRID = {
+    "data.layers": LAYER_CHOICES,
     "loss.name": ["MSELoss", "PearsonLoss", "SmoothL1Loss", "HuberLoss"],
     "data.layer_aggregation": [None, "group_mean"],
     "brain_model_config.subject_embedding": [True, False],
@@ -41,21 +26,23 @@ grid = {
     "brain_model_config.modality_dropout": [0.0, 0.2, 0.4],
 }
 
-N_MODELS = 1000
+
+def main(argv: list[str] | None = None) -> list:
+    parser = sweep_parser("model-soup ensemble sweep")
+    parser.add_argument(
+        "--n-models", type=int, default=1000, help="number of sampled configs"
+    )
+    parser.add_argument("--sample-seed", type=int, default=None)
+    args = parser.parse_args(argv)
+    return launch_sweep(
+        SWEEP,
+        dict(SOUP_GRID),
+        base_update={"seed": None, "patience": None},
+        sample=args.n_models,
+        seed=args.sample_seed,
+        args=args,
+    )
 
 
 if __name__ == "__main__":
-    updated_config = ConfDict(default_config)
-    updated_config.update(update)
-    out = run_grid(
-        Experiment,
-        GRID_NAME,
-        updated_config.to_dict(),
-        grid,
-        job_name_keys=["wandb_config.name", "infra.job_name"],
-        combinatorial=True,
-        n_randomly_sampled=N_MODELS,
-        overwrite=False,
-        dry_run=False,
-        infra_mode="force",
-    )
+    main()

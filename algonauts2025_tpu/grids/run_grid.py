@@ -1,51 +1,37 @@
-"""Hyperparameter grid sweep (reference grids/run_grid.py).
+"""Layer x seed hyperparameter sweep (parity with reference
+grids/run_grid.py config values).
 
-Layers x seed sweep fanned out as a task array; set
-``infra.cluster="external"`` + ALGONAUTS_TPU_LAUNCHER for one TPU slice
-per config.
+    python -m algonauts2025_tpu.grids.run_grid [--dry-run] [--overwrite]
+
+Set ``infra.cluster="external"`` + ALGONAUTS_TPU_LAUNCHER in the base
+config for one TPU slice per run.
 """
 
 from __future__ import annotations
 
-from ..config import ConfDict
-from ..experiment import Experiment
-from ..experiment.grid import run_grid
-from .defaults import PROJECT_NAME, SAVEDIR, default_config
+from ._launch import launch_sweep, sweep_parser
 
-GRID_NAME = "grid"
+SWEEP = "grid"
 
-update = {
-    "infra": {
-        "cluster": None,
-        "folder": SAVEDIR,
-        "job_name": PROJECT_NAME,
-    },
-    "wandb_config.group": GRID_NAME,
-    "save_checkpoints": False,
-}
+#: fractional-depth layer selections swept against seeds
+LAYER_CHOICES = [
+    [0.0, 0.5, 1.0],
+    [0.5, 0.75, 1.0],
+    [0.5, 1.0],
+    [0.0, 0.2, 0.4, 0.6, 0.8, 1.0],
+]
 
-grid = {
-    "data.layers": [
-        [0, 0.5, 1],
-        [0.5, 0.75, 1.0],
-        [0.5, 1.0],
-        [0, 0.2, 0.4, 0.6, 0.8, 1.0],
-    ],
-    "seed": list(range(5)),
-}
+
+def main(argv: list[str] | None = None) -> list:
+    parser = sweep_parser("layers x seed sweep")
+    parser.add_argument("--seeds", type=int, default=5, help="number of seeds")
+    args = parser.parse_args(argv)
+    grid = {
+        "data.layers": LAYER_CHOICES,
+        "seed": list(range(args.seeds)),
+    }
+    return launch_sweep(SWEEP, grid, args=args)
 
 
 if __name__ == "__main__":
-    updated_config = ConfDict(default_config)
-    updated_config.update(update)
-    out = run_grid(
-        Experiment,
-        GRID_NAME,
-        updated_config.to_dict(),
-        grid,
-        job_name_keys=["wandb_config.name", "infra.job_name"],
-        combinatorial=True,
-        overwrite=False,
-        dry_run=False,
-        infra_mode="force",
-    )
+    main()

@@ -9,7 +9,7 @@ onto the MXU directly.
 
 from __future__ import annotations
 
-import typing as tp
+from typing import Dict, Literal, Optional, Union
 
 import flax.linen as nn
 import jax
@@ -18,37 +18,41 @@ import pydantic
 
 from .common import MlpConfig, SubjectLayers
 
+_TimeAgg = Literal["in_mean", "in_linear", "out_mean", "out_linear"]
+
 
 class FmriMlpConfig(pydantic.BaseModel):
     model_config = pydantic.ConfigDict(extra="forbid")
-    name: tp.Literal["FmriMlp"] = "FmriMlp"
+    name: Literal["FmriMlp"] = "FmriMlp"
 
+    # trunk
     hidden: int = 4096
     n_blocks: int = 4
-    norm_type: str = "ln"
     act_first: bool = False
+    norm_type: str = "ln"
 
+    # temporal handling
+    time_agg: _TimeAgg = "out_linear"
     n_repetition_times: int = 1
-    time_agg: tp.Literal["in_mean", "in_linear", "out_mean", "out_linear"] = "out_linear"
-
+    use_tr_layer: bool = False
     use_tr_embeds: bool = False
     tr_embed_dim: int = 16
-    use_tr_layer: bool = False
 
-    out_dim: int | None = None
-
+    # subject conditioning
     subject_layers: bool = False
-    n_subjects: int = 20
-    subject_layers_dim: tp.Literal["input", "hidden"] = "hidden"
+    subject_layers_dim: Literal["input", "hidden"] = "hidden"
     subject_layers_id: bool = False
+    n_subjects: int = 20
 
-    output_head_config: MlpConfig | dict[str, MlpConfig] | None = None
+    # outputs
+    out_dim: Optional[int] = None
+    output_head_config: Union[MlpConfig, Dict[str, MlpConfig], None] = None
 
-    def build(self, n_in_channels: int, n_outputs: int | None) -> "FmriMlp":
-        out_dim = self.out_dim if n_outputs is None else n_outputs
-        if out_dim is None:
-            raise ValueError("One of n_outputs or config.out_dim must be set.")
-        return FmriMlp(in_dim=n_in_channels, out_dim=out_dim, config=self)
+    def build(self, n_in_channels: int, n_outputs: Optional[int]) -> "FmriMlp":
+        width = n_outputs if n_outputs is not None else self.out_dim
+        if width is None:
+            raise ValueError("set either n_outputs or config.out_dim")
+        return FmriMlp(in_dim=n_in_channels, out_dim=width, config=self)
 
 
 class _ActNorm(nn.Module):
@@ -78,7 +82,7 @@ class FmriMlp(nn.Module):
         training: bool = False,
     ) -> jax.Array:
         cfg = self.config
-        x = x.reshape(x.shape[0], -1, x.shape[-1])  # (B, C, T)
+        x = jnp.reshape(x, (x.shape[0], -1, x.shape[-1]))  # (B, C, T)
         n_rep = cfg.n_repetition_times
 
         if cfg.time_agg == "in_mean":
