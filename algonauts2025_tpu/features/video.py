@@ -199,21 +199,20 @@ class VJEPA2(LayeredFeatureBase):
                 times, backbone.n_frames, WINDOW_SECONDS_BACK
             )
             has_async = hasattr(backbone, "encode_windows_async")
-            pending: tuple[tp.Any, int] | None = None
+            # two batches in flight: batch k computes while k+1's H2D streams
+            # and k-1's D2H drains
+            pending: list[tuple[tp.Any, int]] = []
 
-            def flush() -> None:
-                nonlocal pending
-                if pending is not None:
-                    dev, n = pending
+            def flush(keep: int = 0) -> None:
+                while len(pending) > keep:
+                    dev, n = pending.pop(0)
                     outputs.append(np.asarray(dev)[:n])
-                    pending = None
 
             def submit(stack: np.ndarray, n: int) -> None:
-                nonlocal pending
                 if has_async:
                     dev = backbone.encode_windows_async(stack)
-                    flush()  # sync the previous batch while this one runs
-                    pending = (dev, n)
+                    pending.append((dev, n))
+                    flush(keep=2)
                 else:
                     outputs.append(backbone.encode_windows(stack)[:n])
 

@@ -44,30 +44,51 @@ class VJEPA2Config:
 VJEPA2_VITG = VJEPA2Config()
 
 
-def _rope_1d(x: jax.Array, pos: jax.Array) -> jax.Array:
-    """V-JEPA rotary on a head-dim slice.
+def _rope_tables(n: int, head_dim: int, crop_size: int, patch_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Full-width (N, head_dim) cos/sin tables for the V-JEPA 3D rotary.
 
-    x: (B, H, N, D); pos: (N,).  cos/sin tables are *tiled* (not
-    interleaved) across the last dim while rotation pairs are interleaved —
-    faithful to the original repo's rotate_queries_or_keys.
+    The head dim splits into (frame, height, width) thirds rotated against
+    their own position id, plus an identity tail (cos=1, sin=0).  Within a
+    segment the cos/sin values are *tiled* (not interleaved) across lanes
+    while rotation pairs are interleaved — faithful to the original repo's
+    rotate_queries_or_keys.  Computed once per forward in NumPy; the scan
+    body just applies two multiplies and a pair swap.
     """
-    d = x.shape[-1]
-    omega = jnp.arange(d // 2, dtype=jnp.float32) / (d / 2.0)
-    omega = 1.0 / 10000**omega
-    freq = pos[:, None].astype(jnp.float32) * omega  # (N, d/2)
-    emb_sin = jnp.tile(jnp.sin(freq), (1, 2))  # (N, d)
-    emb_cos = jnp.tile(jnp.cos(freq), (1, 2))
-    y = x.reshape(x.shape[:-1] + (d // 2, 2))
-    y1, y2 = y[..., 0], y[..., 1]
-    rot = jnp.stack([-y2, y1], axis=-1).reshape(x.shape)
-    return x * emb_cos + rot * emb_sin
+    grid = crop_size // patch_size
+    tokens_per_frame = grid * grid
+    ids = np.arange(n)
+    frame_ids = ids // tokens_per_frame
+    rem = ids - frame_ids * tokens_per_frame
+    height_ids = rem // grid
+    width_ids = rem - height_ids * grid
+
+    seg = int(2 * ((head_dim // 3) // 2))
+    cos = np.ones((n, head_dim), np.float32)
+    sin = np.zeros((n, head_dim), np.float32)
+    for which, pos in enumerate((frame_ids, height_ids, width_ids)):
+        omega = np.arange(seg // 2, dtype=np.float32) / (seg / 2.0)
+        omega = 1.0 / 10000**omega
+        freq = pos[:, None].astype(np.float32) * omega  # (N, seg/2)
+        lo = which * seg
+        cos[:, lo : lo + seg] = np.tile(np.cos(freq), (1, 2))
+        sin[:, lo : lo + seg] = np.tile(np.sin(freq), (1, 2))
+    return cos, sin
+
+
+def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, H, N, D) bf16; cos/sin: (N, D) fp32.  One fused rotation —
+    the identity tail (cos=1, sin=0) makes the global expression exact."""
+    x32 = x.astype(jnp.float32)
+    pair = x32.reshape(x32.shape[:-1] + (x32.shape[-1] // 2, 2))
+    rot = jnp.stack([-pair[..., 1], pair[..., 0]], axis=-1).reshape(x32.shape)
+    return (x32 * cos + rot * sin).astype(x.dtype)
 
 
 class VJEPA2Attention(nn.Module):
     cfg: VJEPA2Config
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, rope: tuple[jax.Array, jax.Array]) -> jax.Array:
         cfg = self.cfg
         b, n, _ = x.shape
         h = cfg.num_heads
@@ -79,32 +100,9 @@ class VJEPA2Attention(nn.Module):
         k = dense("key")(x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
         v = dense("value")(x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
 
-        # 3D position ids over (frame, height, width)
-        grid = cfg.crop_size // cfg.patch_size
-        tokens_per_frame = grid * grid
-        ids = jnp.arange(n)
-        frame_ids = ids // tokens_per_frame
-        rem = ids - frame_ids * tokens_per_frame
-        height_ids = rem // grid
-        width_ids = rem - height_ids * grid
-
-        d_dim = int(2 * ((hd // 3) // 2))
-        s = 0
-        parts = []
-        for pos in (frame_ids, height_ids, width_ids):
-            parts.append((s, s + d_dim, pos))
-            s += d_dim
-
-        def rope(z):
-            z32 = z.astype(jnp.float32)
-            pieces = [
-                _rope_1d(z32[..., a:b_], pos) for a, b_, pos in parts
-            ]
-            if s < hd:
-                pieces.append(z32[..., s:])
-            return jnp.concatenate(pieces, axis=-1).astype(cfg.dtype)
-
-        q, k = rope(q), rope(k)
+        cos, sin = rope
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
         out = _attention(q, k, v, cfg.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.hidden_size)
         return dense("proj")(out)
@@ -141,12 +139,12 @@ class VJEPA2Block(nn.Module):
     token_pool: bool = False
 
     @nn.compact
-    def __call__(self, x, _unused):
+    def __call__(self, x, rope):
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name=name
         )
-        x = x + VJEPA2Attention(cfg, name="attn")(ln("norm1")(x))
+        x = x + VJEPA2Attention(cfg, name="attn")(ln("norm1")(x), rope)
         h = ln("norm2")(x)
         h = nn.Dense(int(cfg.hidden_size * cfg.mlp_ratio), dtype=cfg.dtype, param_dtype=cfg.dtype, name="fc1")(h)
         h = nn.gelu(h, approximate=False)
@@ -198,13 +196,21 @@ class VJEPA2Backbone(nn.Module):
         head = x.astype(jnp.float32)[None]
         if self.token_pool:
             head = head.mean(axis=2)
+        # rotary tables are layer-invariant: build once, broadcast into the
+        # scan (the rotation itself is two multiplies + a pair swap)
+        n_tokens = x.shape[1]
+        cos_np, sin_np = _rope_tables(
+            n_tokens, cfg.hidden_size // cfg.num_heads, cfg.crop_size, cfg.patch_size
+        )
+        rope = (jnp.asarray(cos_np), jnp.asarray(sin_np))
         ScannedBlock = nn.scan(
             VJEPA2Block,
             variable_axes={"params": 0},
             split_rngs={"params": True},
+            in_axes=nn.broadcast,
             length=cfg.num_layers,
         )
-        x, layer_states = ScannedBlock(cfg, token_pool=self.token_pool, name="layers")(x, None)
+        x, layer_states = ScannedBlock(cfg, token_pool=self.token_pool, name="layers")(x, rope)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_norm")(x)
         last = x.astype(jnp.float32)
         if self.token_pool:

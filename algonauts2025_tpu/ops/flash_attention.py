@@ -96,6 +96,79 @@ def pl_ds(start, size):
     return pl.ds(start, size)
 
 
+def _fast_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, sum_lane: int):
+    """Non-causal, unmasked fast path.
+
+    Two VPU passes removed vs the general kernel: the softmax scale is
+    folded into q by the caller, and the row-sum of p rides the PV matmul
+    through a ones-column planted in v's zero padding (lane ``sum_lane``) —
+    numerically this matches summing the bf16-cast p, the same values the
+    PV matmul consumes, so numerator and denominator stay consistent.
+    """
+    q = q_ref[0]
+    qb, dp = q.shape
+    t = k_ref.shape[1]
+
+    def body(i, carry):
+        acc, m = carry
+        k = k_ref[0, pl_ds(i * kv_block, kv_block), :]
+        v = v_ref[0, pl_ds(i * kv_block, kv_block), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc * alpha + pv, m_new
+
+    acc0 = jnp.zeros((qb, dp), jnp.float32)
+    m0 = jnp.full((qb, 1), -jnp.inf, jnp.float32)
+    acc, _ = jax.lax.fori_loop(0, t // kv_block, body, (acc0, m0))
+    l = acc[:, sum_lane : sum_lane + 1]
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _fast_flash(q, k, v, q_block: int, kv_block: int, interpret: bool):
+    """Plain (non-causal, unmasked) flash attention with folded scale and
+    MXU-side row sums; head dim padded to the 128-lane tile."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, t, d = q.shape
+    dp = _round_up(d + 1, 128)
+    scale = jnp.asarray(d**-0.5, jnp.float32)
+    pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
+    qp = jnp.pad((q.astype(jnp.float32) * scale).astype(q.dtype), pad)
+    qp = qp.reshape(b * h, t, dp)
+    kp = jnp.pad(k, pad).reshape(b * h, t, dp)
+    ones = jnp.ones(v.shape[:-1] + (1,), v.dtype)
+    vp = jnp.pad(jnp.concatenate([v, ones], axis=-1), [(0, 0), (0, 0), (0, 0), (0, dp - d - 1)])
+    vp = vp.reshape(b * h, t, dp)
+
+    q_spec = pl.BlockSpec(
+        (1, q_block, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec((1, t, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fast_kernel, kv_block=kv_block, sum_lane=d),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, dp), q.dtype),
+        grid=(b * h, t // q_block),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t * t * dp,
+            bytes_accessed=4 * b * h * t * dp * 2,
+            transcendentals=b * h * t * t,
+        ),
+    )(qp, kp, vp)
+    return out.reshape(b, h, t, dp)[..., :d]
+
+
 @functools.partial(
     jax.jit, static_argnames=("q_block", "kv_block", "causal", "interpret")
 )
@@ -125,6 +198,14 @@ def flash_attention(
             f"flash_attention requires T divisible by blocks, got {t} "
             f"({q_block}/{kv_block}); pick block sizes dividing T"
         )
+    if not causal and lengths is None:
+        # fast path: fold scale into q, row sums ride the PV matmul; a
+        # larger kv block amortizes loop bookkeeping (s fits scoped VMEM
+        # up to q_block*kv_block*4B ~ 4 MB)
+        kvb = kv_block
+        while kvb * 2 <= t and q_block * kvb * 2 * 4 <= 4 * 1024 * 1024:
+            kvb *= 2
+        return _fast_flash(q, k, v, q_block, kvb, interpret)
     pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
     qp = jnp.pad(q, pad).reshape(b * h, t, dp)
     kp = jnp.pad(k, pad).reshape(b * h, t, dp)

@@ -149,25 +149,25 @@ def bench_video(video_path: Path) -> float:
 
     clip = VideoClip(str(video_path))
     t0 = time.time()
-    batch = []
-    pending = None
+    batch: list = []
+    pending: list = []  # two batches in flight (compute + H2D/D2H overlap)
+
+    def submit(stack):
+        pending.append(backbone.encode_windows_async(stack))
+        while len(pending) > 2:
+            np.asarray(pending.pop(0))
+
     for window in clip.sliding_windows(times, 64, 4.0):
         batch.append(window)
         if len(batch) == wb:
-            dev = backbone.encode_windows_async(np.stack(batch))
-            if pending is not None:
-                np.asarray(pending)  # sync previous while this batch runs
-            pending = dev
+            submit(np.stack(batch))
             batch = []
     if batch:
         while len(batch) < wb:
             batch.append(batch[-1])
-        dev = backbone.encode_windows_async(np.stack(batch))
-        if pending is not None:
-            np.asarray(pending)
-        pending = dev
-    if pending is not None:
-        np.asarray(pending)
+        submit(np.stack(batch))
+    while pending:
+        np.asarray(pending.pop(0))
     dt = time.time() - t0
     clip.close()
     del params, backbone
