@@ -285,29 +285,48 @@ class Experiment(pydantic.BaseModel):
         return last if last.exists() else None
 
     # -- submission (reference callbacks.py:47-103) -----------------------
+    @staticmethod
+    def _season_prefix(movie_label: str) -> str:
+        """Challenge chunk prefix from an events movie label ("movie:7" ->
+        "s07"; non-numeric labels pass through, e.g. movie10 films)."""
+        movie = str(movie_label).split(":")[-1]
+        return f"s{int(movie):02d}" if movie.isdigit() else movie
+
+    @staticmethod
+    def _samples_tag(season: str) -> str:
+        """Stem of the target_sample_number file for a season prefix
+        ("s07" -> "friends-s7")."""
+        if season[:1] == "s" and season[1:].isdigit():
+            return f"friends-s{int(season[1:])}"
+        return season
+
     def write_submission(
         self, trainer: BrainTrainer, test_ds: SegmentDataset, batch_size: int
     ) -> None:
         submission: dict[str, dict[str, list[np.ndarray]]] = {}
+        season = ""
         loader = test_ds.batches(batch_size=batch_size)
         for preds, batch in trainer.predict(loader):
             for i, segment in enumerate(batch.segments):
                 ev = segment.events
                 subject = ev.subject.unique()[0].split("/")[-1]
-                chunk = ev.chunk.unique()[0]
-                chunk = "s07" + chunk.split(":")[1]
+                # chunk name follows the data (reference callbacks.py:66-68
+                # hardcodes "s07"; a non-s7 test split would mislabel there)
+                season = self._season_prefix(ev.movie.unique()[0])
+                chunk = season + ev.chunk.unique()[0].split(":")[1]
                 pred = preds[i].T  # (T, n_outputs)
                 submission.setdefault(subject, {}).setdefault(chunk, []).append(pred)
 
         root = Path(self.data.study.path) / "download" / "algonauts_2025.competitors"
         out: dict[str, dict[str, np.ndarray]] = {}
         for subject, chunks in submission.items():
+            tag = self._samples_tag(season)
             samples_file = (
                 root
                 / "fmri"
                 / subject
                 / "target_sample_number"
-                / f"{subject}_friends-s7_fmri_samples.npy"
+                / f"{subject}_{tag}_fmri_samples.npy"
             )
             target = np.load(samples_file, allow_pickle=True).item()
             out[subject] = {}

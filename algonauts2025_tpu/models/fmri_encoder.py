@@ -164,7 +164,13 @@ class FmriEncoder(nn.Module):
         tensors = []
         for i, modality in enumerate(names):
             if modality not in self.projectors:
-                proj_dim = cfg.hidden // n_mod
+                # zero filler must match the projector output width:
+                # hidden//n_mod under "cat", full hidden under "sum"
+                proj_dim = (
+                    cfg.hidden
+                    if cfg.feature_aggregation == "sum"
+                    else cfg.hidden // n_mod
+                )
                 tensors.append(jnp.zeros((b, t, proj_dim), dtype))
                 continue
             data = self._prepare_modality(batch[modality]).astype(dtype)

@@ -81,7 +81,12 @@ def _flash_kernel(
     m0 = jnp.full((qb, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((qb, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    out = acc / jnp.maximum(l, 1e-30)
+    if masked:
+        # an all-masked row (valid == 0) has every score at -1e30, so p is
+        # uniform and out becomes a mean of padded V; force zeros instead
+        out = jnp.where(valid > 0, out, 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def pl_program_id(axis):

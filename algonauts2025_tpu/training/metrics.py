@@ -28,6 +28,7 @@ __all__ = [
     "Metric",
     "MultidimPearsonCorrCoef",
     "GroupedPearson",
+    "GroupedMetric",
     "TopkAcc",
     "Rank",
     "MetricConfig",
@@ -36,9 +37,17 @@ __all__ = [
 
 
 class Metric:
-    """Streaming metric protocol: reset / update / compute."""
+    """Streaming metric protocol: reset / update / compute.
+
+    Capability flags drive the trainer's dispatch (no name matching):
+    - ``is_retrieval``: wants segment-level (N, D) embeddings (time-pooled
+      predictions/targets) instead of flattened voxel rows.
+    - ``needs_groups``: wants the per-row group ids (subject indices).
+    """
 
     higher_is_better: bool = True
+    is_retrieval: bool = False
+    needs_groups: bool = False
 
     def reset(self) -> None:
         raise NotImplementedError
@@ -93,6 +102,8 @@ class GroupedPearson(Metric):
     (metrics/base.py:39-91) but with a fixed group axis so the update is a
     single jittable scatter instead of per-group Python metric objects.
     """
+
+    needs_groups = True
 
     def __init__(self, n_groups: int, num_outputs: int = 1000):
         self.n_groups = n_groups
@@ -151,6 +162,44 @@ def _grouped_update(state, preds, target, groups, n_groups):
 _jit_grouped_update = jax.jit(_grouped_update, static_argnames=("n_groups",))
 
 
+class GroupedMetric(Metric):
+    """Wrap *any* metric with one independent instance per group id
+    (reference metrics/base.py:39-91).  Group members are created lazily,
+    so the group count never needs declaring.  ``GroupedPearson`` remains
+    the jit-friendly fast path for the Pearson case.
+    """
+
+    needs_groups = True
+
+    def __init__(self, factory: tp.Callable[[], Metric]):
+        self.factory = factory
+        probe = factory()
+        self.is_retrieval = probe.is_retrieval
+        self.higher_is_better = probe.higher_is_better
+        self.reset()
+
+    def reset(self) -> None:
+        self._members: dict[int, Metric] = {}
+
+    def update(self, preds, target, groups=None) -> None:
+        rows = np.asarray(
+            jnp.zeros((preds.shape[0],), jnp.int32) if groups is None else groups
+        ).reshape(-1)
+        preds = preds.reshape(-1, preds.shape[-1])
+        target = target.reshape(-1, target.shape[-1])
+        if rows.shape[0] != preds.shape[0]:
+            raise ValueError(
+                f"groups ({rows.shape[0]}) must match rows ({preds.shape[0]})"
+            )
+        for g in np.unique(rows):
+            member = self._members.setdefault(int(g), self.factory())
+            keep = np.flatnonzero(rows == g)
+            member.update(preds[keep], target[keep])
+
+    def compute(self) -> dict[str, tp.Any]:
+        return {str(g): m.compute() for g, m in sorted(self._members.items())}
+
+
 def _retrieval_ranks(x: jax.Array, y: jax.Array, eps: float = 1e-15) -> jax.Array:
     """Rank of the true row of y for each row of x under cosine-vs-y scoring
     (reference metrics.py:89-137, norm_kind='y', midrank ties)."""
@@ -165,6 +214,7 @@ def _retrieval_ranks(x: jax.Array, y: jax.Array, eps: float = 1e-15) -> jax.Arra
 
 class Rank(Metric):
     higher_is_better = False
+    is_retrieval = True
 
     def __init__(self, reduction: str = "median", relative: bool = False):
         self.reduction = reduction
@@ -232,11 +282,25 @@ class GroupedMetricConfig(BaseMetricConfig):
     kwargs: dict[str, tp.Any] = {}
 
     def build(self, n_groups: int | None = None) -> Metric:
-        if self.metric_name != "MultidimPearsonCorrCoef":
-            raise NotImplementedError(
-                f"GroupedMetric over {self.metric_name} not supported yet"
+        if self.metric_name == "MultidimPearsonCorrCoef":
+            # jit-friendly segment-sum fast path
+            return GroupedPearson(n_groups=n_groups or 8, **self.kwargs)
+        classes = _groupable_metric_classes()
+        if self.metric_name not in classes:
+            raise ValueError(
+                f"GroupedMetric over {self.metric_name!r}: unknown metric, "
+                f"use one of {sorted(classes)}"
             )
-        return GroupedPearson(n_groups=n_groups or 8, **self.kwargs)
+        return GroupedMetric(lambda: classes[self.metric_name](**self.kwargs))
+
+
+def _groupable_metric_classes() -> dict[str, type]:
+    return {
+        "MultidimPearsonCorrCoef": MultidimPearsonCorrCoef,
+        "OnlinePearsonCorr": OnlinePearsonCorr,
+        "Rank": Rank,
+        "TopkAcc": TopkAcc,
+    }
 
 
 class TopkAccConfig(BaseMetricConfig):

@@ -347,21 +347,26 @@ class BrainTrainer:
             y_true = data["fmri"]
             losses.append(loss)
             subject_ids = data.get("subject_id")
-            groups = None
+            voxel_groups = None
+            segment_groups = None
             if subject_ids is not None:
-                groups = jnp.repeat(subject_ids.reshape(-1), y_pred.shape[2])
+                segment_groups = subject_ids.reshape(-1)
+                voxel_groups = jnp.repeat(segment_groups, y_pred.shape[2])
             for name, metric in self.metrics.items():
                 if not name.startswith(split):
                     continue
-                if getattr(metric, "is_retrieval", False) or type(metric).__name__ in (
-                    "TopkAcc",
-                    "Rank",
-                ):
-                    metric.update(y_pred.mean(axis=-1), y_true.mean(axis=-1))
-                elif type(metric).__name__ == "GroupedPearson":
-                    metric.update(yp, yt, groups=groups)
+                # dispatch on capability flags (Metric.is_retrieval /
+                # .needs_groups), never on class names
+                if metric.is_retrieval:
+                    args = (y_pred.mean(axis=-1), y_true.mean(axis=-1))
+                    groups = segment_groups
                 else:
-                    metric.update(yp, yt)
+                    args = (yp, yt)
+                    groups = voxel_groups
+                if metric.needs_groups:
+                    metric.update(*args, groups=groups)
+                else:
+                    metric.update(*args)
             n += 1
         out: dict[str, float] = {}
         if n:

@@ -120,6 +120,20 @@ def test_modality_dropout_keeps_one():
     assert sum(alive) == 1
 
 
+def test_missing_modality_sum_aggregation():
+    """A modality with no projector (feature_dims=None) must fill zeros at
+    the projector's width — full hidden under 'sum' aggregation."""
+    cfg = FmriEncoderConfig(
+        n_subjects=3, hidden=64, depth=1, heads=4, feature_aggregation="sum"
+    )
+    feature_dims = {"text": (2, 8), "audio": None}
+    model = cfg.build(feature_dims, n_outputs=16, n_output_timesteps=5)
+    batch = _batch({"text": (2, 8)}, t_out=5)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, training=False)
+    x = model.apply(variables, batch, training=False, method="aggregate_features")
+    assert x.shape == (4, 20, 64)  # sum keeps full hidden width
+
+
 def test_fmri_mlp_forward(rng):
     cfg = FmriMlpConfig(hidden=32, n_blocks=2, subject_layers=True, n_subjects=3)
     model = cfg.build(n_in_channels=16, n_outputs=8)
@@ -164,6 +178,61 @@ def test_metrics_surface():
     topk = build_metric({"log_name": "ret", "name": "TopkAcc", "topk": 1})
     topk.update(p, p)
     assert topk.compute() == 1.0
+
+
+def test_grouped_metric_wraps_any_metric():
+    """GroupedMetric wraps retrieval and online metrics, not just Pearson
+    (reference metrics/base.py:39-91 parity)."""
+    p = jnp.asarray(np.random.default_rng(0).standard_normal((30, 5)).astype(np.float32))
+    groups = jnp.asarray([0] * 15 + [1] * 15)
+
+    g_topk = build_metric(
+        {"log_name": "g", "name": "GroupedMetric", "metric_name": "TopkAcc",
+         "kwargs": {"topk": 1}}
+    )
+    assert g_topk.is_retrieval and g_topk.needs_groups
+    g_topk.update(p, p, groups=groups)
+    out = g_topk.compute()
+    assert out == {"0": 1.0, "1": 1.0}
+
+    g_online = build_metric(
+        {"log_name": "g2", "name": "GroupedMetric",
+         "metric_name": "OnlinePearsonCorr", "kwargs": {"reduction": "mean"}}
+    )
+    assert not g_online.is_retrieval
+    g_online.update(p, p, groups=groups)
+    vals = g_online.compute()
+    assert vals["0"] == pytest.approx(1.0, abs=1e-4)
+
+    with pytest.raises(ValueError, match="unknown metric"):
+        build_metric(
+            {"log_name": "bad", "name": "GroupedMetric", "metric_name": "Nope"}
+        )
+
+
+def test_metric_capability_flags():
+    from algonauts2025_tpu.training.metrics import (
+        GroupedPearson,
+        MultidimPearsonCorrCoef,
+        Rank,
+        TopkAcc,
+    )
+
+    assert TopkAcc().is_retrieval and Rank().is_retrieval
+    assert not MultidimPearsonCorrCoef().is_retrieval
+    assert GroupedPearson(n_groups=2).needs_groups
+    assert not MultidimPearsonCorrCoef().needs_groups
+
+
+def test_submission_naming_follows_data():
+    from algonauts2025_tpu.experiment.experiment import Experiment
+
+    assert Experiment._season_prefix("movie:7") == "s07"
+    assert Experiment._season_prefix("movie:12") == "s12"
+    assert Experiment._season_prefix("movie:bourne") == "bourne"
+    assert Experiment._samples_tag("s07") == "friends-s7"
+    assert Experiment._samples_tag("s03") == "friends-s3"
+    assert Experiment._samples_tag("bourne") == "bourne"
 
 
 def test_trainer_end_to_end(tmp_path):

@@ -199,6 +199,23 @@ def test_flash_attention_causal_masked(rng):
         )
 
 
+def test_flash_attention_zero_length_row(rng):
+    """A batch row with lengths == 0 must produce zeros, not a uniform
+    average of the padded values."""
+    from algonauts2025_tpu.ops.flash_attention import flash_attention
+
+    b, h, t, d = 2, 2, 256, 16
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    lengths = jnp.asarray([0, 256], jnp.int32)
+    out = flash_attention(
+        q, k, v, q_block=64, kv_block=128, lengths=lengths, interpret=True
+    )
+    assert np.abs(np.asarray(out)[0]).max() == 0.0
+    assert np.abs(np.asarray(out)[1]).max() > 0.0
+
+
 def test_flash_attention_packed_matches_reference(rng):
     from algonauts2025_tpu.ops.flash_attention import flash_attention_packed
 
