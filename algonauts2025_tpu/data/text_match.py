@@ -76,14 +76,19 @@ class Token:
     sent: Sentence
 
 
-_SENT_END = re.compile(r"([.!?]+[\"')\]]*)(\s+|$)")
+_SENT_END = re.compile(r"([.!?]+)([\"')\]]*)(\s+|$)")
 
 
 def split_sentences(text: str) -> list[Sentence]:
     """Rule-based sentence segmentation over raw text.
 
-    Splits after .!? (plus closing quotes) followed by whitespace, unless
-    the preceding token is a known abbreviation or a single initial.
+    Splits after .!? (plus closing quotes/brackets) followed by whitespace.
+    Suppression rules, pinned by tests/test_sentence_segmentation.py:
+    - known abbreviations and single initials ("Mr.", "J.", "a.m.");
+    - "No." only when followed by a digit ("No. 5");
+    - an ellipsis followed by a non-capital continues the sentence;
+    - terminal punctuation inside quotes followed by a lowercase word is
+      dialogue attribution ('"Run!" he shouted.') and continues.
     Trailing whitespace belongs to the sentence (spacy text_with_ws parity).
     """
     if not text:
@@ -91,12 +96,23 @@ def split_sentences(text: str) -> list[Sentence]:
     boundaries = [0]
     for m in _SENT_END.finditer(text):
         end = m.end()
+        marks, trail = m.group(1), m.group(2)
+        following = text[end : end + 1]  # first char after the whitespace
+        # ellipsis that does not hand over to a capital keeps flowing
+        if set(marks) == {"."} and len(marks) > 1 and not following.isupper():
+            continue
+        # quoted terminal + lowercase word = dialogue attribution
+        if any(c in "\"'" for c in trail) and following.islower():
+            continue
         # word immediately before the punctuation
         before = text[: m.start()].rstrip()
         last_word = before.split()[-1].lower().strip("\"'()[]") if before.split() else ""
         last_word = last_word.rstrip(".")
-        if last_word in _ABBREV or (len(last_word) == 1 and last_word.isalpha()):
-            continue
+        if "!" not in marks and "?" not in marks:
+            if last_word in _ABBREV or (len(last_word) == 1 and last_word.isalpha()):
+                continue
+            if last_word == "no" and following.isdigit():
+                continue
         if end < len(text):
             boundaries.append(end)
     boundaries.append(len(text))

@@ -78,6 +78,30 @@ class JaxAudioBackbone(AudioBackbone):
 
         self._fn_2hz = fn_2hz
 
+        @functools.partial(jax.jit, static_argnames=("n_out_max",))
+        def fn_bucketed(params, wav, n_valid, n_out, n_out_max):
+            # one compile per bucket width: n_valid (true samples) and
+            # n_out (true 2 Hz steps) are dynamic scalars
+            import jax.numpy as jnp
+
+            from ..ops.mel import log_mel_features_masked
+
+            feats, t_valid = log_mel_features_masked(wav, n_valid)
+            mask = (jnp.arange(feats.shape[0]) < t_valid)[None]
+            states = self.model.apply(
+                {"params": params}, feats[None], attention_mask=mask
+            )[:, 0]  # (L+1, T50pad, D)
+            t_f = t_valid.astype(jnp.float32)
+            n_f = jnp.maximum(n_out.astype(jnp.float32), 1.0)
+            idx = jnp.floor(jnp.arange(n_out_max) * (t_f / n_f)).astype(jnp.int32)
+            idx = jnp.clip(idx, 0, jnp.maximum(t_valid - 1, 0))
+            out = jnp.take(states, idx, axis=1)  # (L+1, n_out_max, D)
+            return jnp.swapaxes(out, 1, 2)  # (L+1, D, n_out_max)
+
+        self._fn_bucketed = fn_bucketed
+        #: distinct compiled bucket widths (observability for recompiles)
+        self.bucket_shapes: set[tuple[int, int]] = set()
+
     def hidden_states(self, wav_16k: np.ndarray) -> np.ndarray:
         out = self._fn(self.params, wav_16k)  # (L+1, 1, T50, D)
         return np.asarray(out)[:, 0]
@@ -85,6 +109,28 @@ class JaxAudioBackbone(AudioBackbone):
     def hidden_states_2hz(self, wav_16k: np.ndarray, n_out: int) -> np.ndarray:
         """(L+1, D, n_out) hidden stack resampled to the output grid."""
         return np.asarray(self._fn_2hz(self.params, wav_16k, n_out=n_out))
+
+    def hidden_states_2hz_bucketed(
+        self, wav_16k: np.ndarray, n_out: int, bucket_samples: int
+    ) -> np.ndarray:
+        """Bucketed variant: the wav is zero-padded to ``bucket_samples`` so
+        arbitrary chunk durations hit a bounded set of compiled shapes; mel
+        normalization and conformer attention mask out the padding."""
+        n = len(wav_16k)
+        if bucket_samples < n:
+            raise ValueError(f"bucket {bucket_samples} smaller than wav {n}")
+        padded = np.zeros(bucket_samples, wav_16k.dtype)
+        padded[:n] = wav_16k
+        n_out_max = max(n_out, int(bucket_samples / TARGET_SR * OUTPUT_HZ))
+        self.bucket_shapes.add((bucket_samples, n_out_max))
+        out = self._fn_bucketed(
+            self.params,
+            padded,
+            np.int32(n),
+            np.int32(n_out),
+            n_out_max=n_out_max,
+        )
+        return np.asarray(out)[..., :n_out]
 
 
 class TinyAudioBackbone(JaxAudioBackbone):
@@ -144,6 +190,9 @@ def load_hf_audio_backbone(model_name: str) -> JaxAudioBackbone:
 class Wav2VecBert(LayeredFeatureBase):
     name: tp.Literal["Wav2VecBert"] = "Wav2VecBert"
     model_name: str = "facebook/w2v-bert-2.0"
+    #: wav lengths are padded up to multiples of this (seconds) so arbitrary
+    #: ChunkEvents durations hit a bounded set of compiled shapes; 0 disables
+    bucket_seconds: float = 5.0
 
     event_type: tp.ClassVar[str] = "Sound"
     frequency: tp.ClassVar[float] = OUTPUT_HZ
@@ -151,7 +200,9 @@ class Wav2VecBert(LayeredFeatureBase):
     _backbone: AudioBackbone | None = pydantic.PrivateAttr(default=None)
 
     def _exclude_from_cache_uid(self) -> list[str]:
-        return ["device", "layers", "layer_aggregation"]
+        # bucket padding is masked out of the numerics (values match the
+        # exact-length call within float tolerance), so it never busts caches
+        return ["device", "layers", "layer_aggregation", "bucket_seconds"]
 
     @staticmethod
     def item_uid(event: Event) -> str:
@@ -224,7 +275,13 @@ class Wav2VecBert(LayeredFeatureBase):
             if int(sfreq) != TARGET_SR:
                 wav = np.asarray(resample_poly(jnp.asarray(wav), int(sfreq), TARGET_SR))
             timepoints = max(1, Frequency(OUTPUT_HZ).to_ind(event.duration))
-            if hasattr(backbone, "hidden_states_2hz"):
+            bucket = 0
+            if self.bucket_seconds and hasattr(backbone, "hidden_states_2hz_bucketed"):
+                step = int(self.bucket_seconds * TARGET_SR)
+                bucket = max(step, -(-len(wav) // step) * step)
+            if bucket:
+                latents = backbone.hidden_states_2hz_bucketed(wav, timepoints, bucket)
+            elif hasattr(backbone, "hidden_states_2hz"):
                 latents = backbone.hidden_states_2hz(wav, timepoints)
             else:
                 states = backbone.hidden_states(wav)  # (L+1, T50, D)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["log_mel_features", "mel_filter_bank_kaldi", "povey_window"]
+__all__ = ["log_mel_features", "log_mel_features_masked", "mel_filter_bank_kaldi", "povey_window"]
 
 
 def _hz_to_mel_kaldi(freq):
@@ -61,22 +61,14 @@ def povey_window(length: int = 400) -> np.ndarray:
     return (hann**0.85).astype(np.float32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("frame_length", "hop_length", "fft_length", "stride"),
-)
-def log_mel_features(
+def _log_mel(
     waveform: jax.Array,
-    frame_length: int = 400,
-    hop_length: int = 160,
-    fft_length: int = 512,
-    stride: int = 2,
-) -> jax.Array:
-    """(T,) float32 mono 16 kHz waveform -> (T', 80*stride) features.
-
-    Matches SeamlessM4TFeatureExtractor with do_normalize_per_mel_bins=True
-    and pad_to_multiple_of handled by the stride trim.
-    """
+    frame_length: int,
+    hop_length: int,
+    fft_length: int,
+    stride: int,
+    n_valid: jax.Array | None,
+):
     waveform = waveform.astype(jnp.float32) * 32768.0
     n = waveform.shape[-1]
     num_frames = 1 + (n - frame_length) // hop_length
@@ -94,10 +86,62 @@ def log_mel_features(
     fb = jnp.asarray(mel_filter_bank_kaldi(fft_length // 2 + 1))
     mel = power @ fb  # MXU matmul
     mel = jnp.log(jnp.maximum(mel, 1.192092955078125e-07))
-    # per-mel-bin normalization over time (ddof=1)
-    mean = mel.mean(axis=0, keepdims=True)
-    var = mel.var(axis=0, ddof=1, keepdims=True)
+    # per-mel-bin normalization over time (ddof=1); with ``n_valid`` the
+    # statistics come from the valid (un-padded) frames only, so a
+    # zero-padded bucket normalizes exactly like the exact-length call
+    if n_valid is None:
+        n_frames_valid = jnp.asarray(num_frames, jnp.int32)
+        mean = mel.mean(axis=0, keepdims=True)
+        var = mel.var(axis=0, ddof=1, keepdims=True)
+    else:
+        n_frames_valid = 1 + (jnp.asarray(n_valid, jnp.int32) - frame_length) // hop_length
+        n_frames_valid = jnp.clip(n_frames_valid, 1, num_frames)
+        keep = (jnp.arange(num_frames) < n_frames_valid)[:, None]
+        denom = n_frames_valid.astype(jnp.float32)
+        mean = jnp.sum(jnp.where(keep, mel, 0.0), axis=0, keepdims=True) / denom
+        sq = jnp.where(keep, (mel - mean) ** 2, 0.0)
+        var = jnp.sum(sq, axis=0, keepdims=True) / jnp.maximum(denom - 1.0, 1.0)
     mel = (mel - mean) / jnp.sqrt(var + 1e-7)
     # stack `stride` frames
     t = (mel.shape[0] // stride) * stride
-    return mel[:t].reshape(t // stride, mel.shape[1] * stride)
+    stacked = mel[:t].reshape(t // stride, mel.shape[1] * stride)
+    return stacked, n_frames_valid // stride
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_length", "hop_length", "fft_length", "stride"),
+)
+def log_mel_features(
+    waveform: jax.Array,
+    frame_length: int = 400,
+    hop_length: int = 160,
+    fft_length: int = 512,
+    stride: int = 2,
+) -> jax.Array:
+    """(T,) float32 mono 16 kHz waveform -> (T', 80*stride) features.
+
+    Matches SeamlessM4TFeatureExtractor with do_normalize_per_mel_bins=True
+    and pad_to_multiple_of handled by the stride trim.
+    """
+    feats, _ = _log_mel(waveform, frame_length, hop_length, fft_length, stride, None)
+    return feats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("frame_length", "hop_length", "fft_length", "stride"),
+)
+def log_mel_features_masked(
+    waveform: jax.Array,
+    n_valid: jax.Array,
+    frame_length: int = 400,
+    hop_length: int = 160,
+    fft_length: int = 512,
+    stride: int = 2,
+) -> tuple[jax.Array, jax.Array]:
+    """Length-bucketed variant: ``waveform`` is zero-padded to a bucket
+    width, ``n_valid`` is the true sample count.  Returns (features,
+    valid_feature_frames); normalization statistics use valid frames only.
+    """
+    return _log_mel(waveform, frame_length, hop_length, fft_length, stride, n_valid)

@@ -129,6 +129,49 @@ def test_resample_identity():
     np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def _speech_like(n: int, sr: int, rng) -> np.ndarray:
+    """AM-modulated harmonic stack + noise floor (voiced-speech stand-in)."""
+    t = np.arange(n) / sr
+    f0 = 120 * (1 + 0.1 * np.sin(2 * np.pi * 2.5 * t))
+    x = sum(np.sin(2 * np.pi * k * f0 * t) / k for k in range(1, 9))
+    x = x * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
+    return (x + 0.05 * rng.standard_normal(n)).astype(np.float32)
+
+
+@pytest.mark.parametrize("old_sr", [44100, 48000])
+def test_resample_parity_scipy_polyphase(old_sr, rng):
+    """Parity with an independent polyphase reference (scipy kaiser design,
+    which julius documents closeness to) at the cache-contract rates.
+
+    In-band content must agree tightly; full-band white noise is compared
+    band-limited to 0.8x the target Nyquist because the two filter designs
+    legitimately differ in the transition band (julius rolloff 0.945 vs
+    scipy kaiser), not in the passband.
+    """
+    import math
+
+    from scipy import signal
+
+    new_sr = 16000
+    g = math.gcd(old_sr, new_sr)
+    n = old_sr * 2
+
+    speech = _speech_like(n, old_sr, rng)
+    noise = signal.sosfilt(
+        signal.butter(8, 6400, fs=old_sr, output="sos"), rng.standard_normal(n)
+    ).astype(np.float32)
+
+    for x, rel_tol, corr_tol in ((speech, 0.02, 0.9999), (noise, 0.04, 0.999)):
+        ours = np.asarray(resample_poly(jnp.asarray(x), old_sr, new_sr))
+        ref = signal.resample_poly(x.astype(np.float64), new_sr // g, old_sr // g)
+        m = min(len(ours), len(ref))
+        assert abs(len(ours) - len(ref)) <= 1
+        a, b = ours[200 : m - 200], ref[200 : m - 200]
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < rel_tol, rel
+        assert np.corrcoef(a, b)[0, 1] > corr_tol
+
+
 def test_flash_attention_matches_reference(rng):
     from algonauts2025_tpu.ops.flash_attention import flash_attention
 

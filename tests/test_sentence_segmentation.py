@@ -1,0 +1,119 @@
+"""Sentence segmenter fixtures: realistic transcript lines with expected
+splits (dialogue, abbreviations, initials, ellipses, decimals, quotes).
+
+The reference pipeline re-punctuates transcripts with spacy
+(enhancers.py:85-112, utils.py:157-188); spacy is not installable in this
+environment, so these fixtures pin the segmentation contract the enhancer
+relies on — each case lists the expected sentence texts (whitespace-
+stripped).  If a rule change moves a boundary, a case here must change
+with it, deliberately.
+"""
+
+import pytest
+
+from algonauts2025_tpu.data.text_match import split_sentences
+
+
+def _texts(raw: str) -> list[str]:
+    return [s.text.strip() for s in split_sentences(raw)]
+
+
+CASES = [
+    # --- plain declaratives ---------------------------------------------
+    ("I went home. It was late.", ["I went home.", "It was late."]),
+    ("She smiled. He did not.", ["She smiled.", "He did not."]),
+    ("One. Two. Three.", ["One.", "Two.", "Three."]),
+    ("It rained all day.", ["It rained all day."]),
+    ("no punctuation at all", ["no punctuation at all"]),
+    # lowercase transcripts still split on terminal punctuation
+    ("i was there. then we left.", ["i was there.", "then we left."]),
+    # --- questions / exclamations ----------------------------------------
+    ("Where is it? I saw it here.", ["Where is it?", "I saw it here."]),
+    ("Stop! Come back!", ["Stop!", "Come back!"]),
+    ("Really?! That is absurd.", ["Really?!", "That is absurd."]),
+    ("What? No. Never.", ["What?", "No.", "Never."]),
+    ("Is that you? yes it is.", ["Is that you?", "yes it is."]),
+    # --- abbreviations: no split -----------------------------------------
+    ("Mr. Smith arrived late.", ["Mr. Smith arrived late."]),
+    ("Dr. Greene saw the chart.", ["Dr. Greene saw the chart."]),
+    ("Mrs. Bing was furious.", ["Mrs. Bing was furious."]),
+    ("Ask Prof. Jones about it.", ["Ask Prof. Jones about it."]),
+    ("We met St. Patrick himself.", ["We met St. Patrick himself."]),
+    ("It cost ten dollars etc. and more.", ["It cost ten dollars etc. and more."]),
+    ("Duck vs. rabbit again.", ["Duck vs. rabbit again."]),
+    ("He works at Acme Inc. these days.", ["He works at Acme Inc. these days."]),
+    # abbreviation ends the line: one sentence
+    ("Bring snacks, drinks, etc.", ["Bring snacks, drinks, etc."]),
+    # abbreviation + question/exclamation still splits
+    ("Was it Mr. Smith? It was.", ["Was it Mr. Smith?", "It was."]),
+    # --- single initials ---------------------------------------------------
+    ("J. Smith signed the form.", ["J. Smith signed the form."]),
+    ("Give it to R. Geller now.", ["Give it to R. Geller now."]),
+    # --- times of day -----------------------------------------------------
+    ("We met at 9 a.m. for coffee.", ["We met at 9 a.m. for coffee."]),
+    ("It starts at 8 p.m. tonight.", ["It starts at 8 p.m. tonight."]),
+    # --- decimals: never a boundary ---------------------------------------
+    ("It weighs 3.5 kilos.", ["It weighs 3.5 kilos."]),
+    ("Pi is 3.14 roughly.", ["Pi is 3.14 roughly."]),
+    # --- ellipses ----------------------------------------------------------
+    # trailing-capital after ellipsis starts a new sentence
+    ("I waited... Then he came.", ["I waited...", "Then he came."]),
+    # lowercase continuation after ellipsis stays one sentence
+    ("I was... thinking about it.", ["I was... thinking about it."]),
+    ("Well... maybe later.", ["Well... maybe later."]),
+    ("So... What now?", ["So...", "What now?"]),
+    # --- quotes and dialogue ------------------------------------------------
+    # quoted exclamation + lowercase attribution stays together
+    ('"Run!" he shouted.', ['"Run!" he shouted.']),
+    ('"Why?" she asked.', ['"Why?" she asked.']),
+    # quoted sentence followed by a capitalized sentence splits
+    ('"Fine." Then he left.', ['"Fine."', "Then he left."]),
+    ('She said "go home." I stayed.', ['She said "go home."', "I stayed."]),
+    # quote after terminal punctuation belongs to the left sentence
+    ('He said "stop it!" Nobody moved.', ['He said "stop it!"', "Nobody moved."]),
+    # --- parentheses --------------------------------------------------------
+    ("It was fine (mostly.) We moved on.", ["It was fine (mostly.)", "We moved on."]),
+    ("He paused (again). Nothing happened.",
+     ["He paused (again).", "Nothing happened."]),
+    # --- dialogue-style transcript lines -------------------------------------
+    ("Hey! How are you doing? I have not seen you in years.",
+     ["Hey!", "How are you doing?", "I have not seen you in years."]),
+    ("Oh my God. They were on a break.",
+     ["Oh my God.", "They were on a break."]),
+    ("Could I BE any more tired? Look at me.",
+     ["Could I BE any more tired?", "Look at me."]),
+    ("We were just... you know. Hanging out.",
+     ["We were just... you know.", "Hanging out."]),
+    ("You mean Dr. Ramoray? From the show?",
+     ["You mean Dr. Ramoray?", "From the show?"]),
+    ("Wait. Wait! WAIT!", ["Wait.", "Wait!", "WAIT!"]),
+    ("So he just left? Unbelievable. Typical.",
+     ["So he just left?", "Unbelievable.", "Typical."]),
+    ("I got the job!!! We are celebrating tonight.",
+     ["I got the job!!!", "We are celebrating tonight."]),
+    ("Umm... okay. Sure. Whatever you say.",
+     ["Umm... okay.", "Sure.", "Whatever you say."]),
+    ("That is like... the best thing ever!",
+     ["That is like... the best thing ever!"]),
+    ("Check the No. 5 train schedule.", ["Check the No. 5 train schedule."]),
+    ("Mr. and Mrs. Geller are here. Say hi.",
+     ["Mr. and Mrs. Geller are here.", "Say hi."]),
+    ("It was i.e. a total disaster. Everyone saw.",
+     ["It was i.e. a total disaster.", "Everyone saw."]),
+    ("Bring the files e.g. the red ones. Thanks.",
+     ["Bring the files e.g. the red ones.", "Thanks."]),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES, ids=[c[0][:32] for c in CASES])
+def test_split_sentences_fixture(raw, expected):
+    assert _texts(raw) == expected
+
+
+def test_offsets_cover_text():
+    raw = "Hey! How are you? I am fine... Mostly."
+    sents = split_sentences(raw)
+    assert "".join(s.text for s in sents) == raw
+    assert sents[0].start == 0 and sents[-1].end == len(raw)
+    for a, b in zip(sents[:-1], sents[1:]):
+        assert a.end == b.start
