@@ -10,6 +10,7 @@ Used by tests, ``grids.test_run`` fallback and ``bench.py``.
 from __future__ import annotations
 
 import typing as tp
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -113,7 +114,9 @@ def make_synthetic_study(
             / f"friends_s{int(season):02d}{chunk}.tsv"
         )
         if not tpath.exists():
-            _write_transcript(tpath, duration, np.random.default_rng(seed + hash(chunk) % 1000))
+            # stable per-chunk seed (builtin hash() is salted per process)
+            chunk_seed = seed + zlib.crc32(chunk.encode()) % 1000
+            _write_transcript(tpath, duration, np.random.default_rng(chunk_seed))
         mpath = (
             comp / "stimuli" / "movies" / "friends" / f"s{season}"
             / f"friends_s{int(season):02d}{chunk}.mkv"
