@@ -163,15 +163,22 @@ class TaskInfra(pydantic.BaseModel):
                 t.run()
 
     def _launch_external(self, tasks: list) -> None:
-        """Write per-task config files and invoke an external launcher.
+        """Fan tasks out through an external launcher, array-style.
 
         The launcher command (env ALGONAUTS_TPU_LAUNCHER) is invoked once
-        per task with the config path appended — e.g. a script that queues
-        a TPU slice job running ``python -m algonauts2025_tpu.grids.run_config
-        <config.json>``.
+        per task with a JSON config path appended — e.g. a script that
+        queues a TPU slice running ``python -m
+        algonauts2025_tpu.grids.run_config <config.json>``.  Semantics
+        mirror the reference's exca job arrays (modeling_utils
+        utils.py:124-155): already-completed elements are skipped, up to
+        ``max_workers`` launches run concurrently, each task gets its own
+        log file, and a per-element summary lands in
+        ``job_array/array_status.json``.  One failing element does not
+        stop the others; failures raise at the end with their logs.
         """
         import os
         import subprocess
+        import time
 
         launcher = os.environ.get("ALGONAUTS_TPU_LAUNCHER")
         if not launcher:
@@ -181,7 +188,68 @@ class TaskInfra(pydantic.BaseModel):
         assert self.folder is not None
         outdir = Path(self.folder) / "job_array"
         outdir.mkdir(parents=True, exist_ok=True)
-        for i, t in enumerate(tasks):
+
+        summary: list[dict] = []
+        queue: list[tuple[int, tp.Any]] = []
+        for i, task in enumerate(tasks):
+            infra = getattr(task, "infra", None)
+            done = infra is not None and infra.status() == "completed"
+            if done and self.mode != "force":
+                logger.info("array element %d already completed; skipping", i)
+                summary.append({"index": i, "status": "skipped (completed)"})
+                continue
+            queue.append((i, task))
+
+        running: list[tuple[int, tp.Any, tp.Any, Path]] = []
+        failures: list[dict] = []
+
+        def _reap(block: bool) -> None:
+            while running:
+                finished = [
+                    slot for slot, item in enumerate(running) if item[2].poll() is not None
+                ]
+                for slot in reversed(finished):
+                    i, task, proc, log_path = running.pop(slot)
+                    infra = getattr(task, "infra", None)
+                    entry = {
+                        "index": i,
+                        "returncode": proc.returncode,
+                        "log": str(log_path),
+                        "status": infra.status() if infra is not None else "unknown",
+                    }
+                    summary.append(entry)
+                    if proc.returncode != 0 or entry["status"] == "failed":
+                        failures.append(entry)
+                if finished or not block:
+                    return
+                time.sleep(0.05)
+
+        for i, task in queue:
             cfg_path = outdir / f"task_{i:05d}.json"
-            cfg_path.write_text(json.dumps(t.model_dump(mode="json"), default=str))
-            subprocess.run(launcher.split() + [str(cfg_path)], check=True)
+            cfg_path.write_text(json.dumps(task.model_dump(mode="json"), default=str))
+            log_path = outdir / f"task_{i:05d}.log"
+            while len(running) >= max(1, self.max_workers):
+                _reap(block=True)
+            logger.info("launching array element %d (%s)", i, cfg_path.name)
+            with open(log_path, "wb") as log_file:
+                proc = subprocess.Popen(
+                    launcher.split() + [str(cfg_path)],
+                    stdout=log_file,
+                    stderr=subprocess.STDOUT,
+                )
+            running.append((i, task, proc, log_path))
+        while running:
+            _reap(block=True)
+
+        summary.sort(key=lambda e: e["index"])
+        (outdir / "array_status.json").write_text(json.dumps(summary, indent=2))
+        if failures:
+            lines = [
+                f"element {e['index']}: rc={e['returncode']} status={e['status']} "
+                f"log={e['log']}"
+                for e in failures
+            ]
+            raise RuntimeError(
+                f"{len(failures)}/{len(tasks)} array elements failed:\n"
+                + "\n".join(lines)
+            )

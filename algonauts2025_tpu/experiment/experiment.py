@@ -129,13 +129,17 @@ class Experiment(pydantic.BaseModel):
 
     def _run(self) -> dict[str, float]:
         self.setup_run()
-        run_logger = None
         if self.wandb_config is not None:
             run_logger = self.wandb_config.build(
                 save_dir=self.infra.folder,
                 xp_config=self.model_dump(mode="json"),
                 id=f"{self.wandb_config.group}-{self.infra.uid().split('-')[-1]}",
             )
+        else:
+            # the JSONL metrics stream is always on; wandb only mirrors it
+            from .tracking import RunLogger
+
+            run_logger = RunLogger(save_dir=self.infra.folder)
         if self.seed is not None:
             np.random.seed(self.seed)
 

@@ -175,6 +175,76 @@ def bench_video(video_path: Path) -> float:
     return dt
 
 
+def bench_train() -> float:
+    """Seconds per optimizer step of the flagship trunk (batch 16 trimodal,
+    0.9B params, remat + contrastive + bf16 Adam mu — the defaults.py
+    training recipe shapes)."""
+    import jax
+
+    from algonauts2025_tpu.data.dataset import SegmentData
+    from algonauts2025_tpu.models import FmriEncoderConfig
+    from algonauts2025_tpu.parallel import get_mesh, shard_batch
+    from algonauts2025_tpu.training import (
+        BrainTrainer,
+        OptimConfig,
+        TrainerConfig,
+        build_loss,
+    )
+
+    cfg = FmriEncoderConfig(
+        n_subjects=4,
+        modality_dropout=0.3,
+        remat=True,
+        contrastive_enabled=True,
+        contrastive_modalities=["video"],
+    )
+    feature_dims = {"text": (2, 3072), "audio": (2, 1024), "video": (2, 1408)}
+    model = cfg.build(feature_dims, n_outputs=1000, n_output_timesteps=100)
+    b, t = 16, 298
+    rng = np.random.default_rng(0)
+    data = {
+        m: rng.standard_normal((b, l, d, t)).astype(np.float32)
+        for m, (l, d) in feature_dims.items()
+    }
+    data["subject_id"] = rng.integers(0, 4, size=(b, 1))
+    data["fmri"] = rng.standard_normal((b, 1000, 100)).astype(np.float32)
+    batch = SegmentData(data=data, segments=[None] * b)  # type: ignore[list-item]
+
+    trainer = BrainTrainer(
+        model=model,
+        loss_fn=build_loss({"name": "MSELoss"}),
+        optim_config=OptimConfig(
+            optimizer={
+                "name": "Adam",
+                "lr": 1e-4,
+                "kwargs": {"weight_decay": 0.0, "mu_dtype": "bfloat16"},
+            },
+            scheduler={"name": "OneCycleLR", "kwargs": {"max_lr": 1e-4, "pct_start": 0.1}},
+        ),
+        metrics={},
+        config=TrainerConfig(
+            n_epochs=1, folder=None, save_checkpoints=False, seed=0,
+            contrastive_weight=0.1,
+        ),
+        mesh=get_mesh(),
+    )
+    trainer.init_state(batch, total_steps=100)
+    trainer._build_steps()
+    device_batch = shard_batch(batch.data, trainer.mesh)
+    key = jax.random.PRNGKey(0)
+    state, loss, _ = trainer._train_step(trainer.state, device_batch, key)  # compile
+    np.asarray(loss)
+    n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 8))
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, loss, _ = trainer._train_step(state, device_batch, key)
+    np.asarray(loss)  # full sync (block_until_ready is unreliable on axon)
+    dt = (time.time() - t0) / n_steps
+    del trainer, state
+    gc.collect()
+    return dt
+
+
 def main() -> None:
     import algonauts2025_tpu  # noqa: F401  (compile cache)
     import jax
@@ -211,18 +281,24 @@ def main() -> None:
         t_video = 0.0
         log("video: skipped (no encoder available for synthetic mkv)")
 
+    if os.environ.get("BENCH_SKIP_TRAIN"):
+        t_step = None
+    else:
+        t_step = bench_train()
+        log(f"train (flagship 0.9B trunk, batch 16 trimodal): {t_step:.3f}s/step")
+
     total = t_text + t_audio + t_video
     value = STIM_SECONDS / total
-    print(
-        json.dumps(
-            {
-                "metric": "stimulus-sec/sec/chip (trimodal feature extraction)",
-                "value": round(value, 3),
-                "unit": "stimulus_sec/s",
-                "vs_baseline": round(value / A100_BASELINE_EST, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "stimulus-sec/sec/chip (trimodal feature extraction)",
+        "value": round(value, 3),
+        "unit": "stimulus_sec/s",
+        "vs_baseline": round(value / A100_BASELINE_EST, 3),
+    }
+    if t_step is not None:
+        # secondary driver-visible metric: flagship training step time
+        record["train_step_seconds"] = round(t_step, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
