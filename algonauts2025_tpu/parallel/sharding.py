@@ -17,12 +17,15 @@ only *annotates*.
 
 from __future__ import annotations
 
+import logging
 import typing as tp
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["state_shardings", "param_spec"]
+logger = logging.getLogger(__name__)
+
+__all__ = ["state_shardings", "param_spec", "sharding_report"]
 
 
 def param_spec(path: str, shape: tuple[int, ...], model_axes: int) -> P:
@@ -51,7 +54,11 @@ def _paths(tree: tp.Any) -> tp.Any:
 
 
 def state_shardings(state: tp.Any, mesh: Mesh) -> tp.Any:
-    """A TrainState-shaped pytree of NamedShardings."""
+    """A TrainState-shaped pytree of NamedShardings.
+
+    Parameters whose shard axis does not divide the model-axis size fall
+    back to replication — loudly, because a silently-replicated readout on
+    a tp>1 mesh trains slower with no other signal."""
     model_axes = mesh.shape.get("model", 1)
 
     def one(path_entries, leaf):
@@ -61,8 +68,30 @@ def state_shardings(state: tp.Any, mesh: Mesh) -> tp.Any:
         if spec != P():
             for axis_name, dim in zip(spec, getattr(leaf, "shape", ())):
                 if axis_name is not None and dim % model_axes:
+                    logger.warning(
+                        "param %s shape %s does not divide model=%d on axis %r; "
+                        "replicating (tensor parallelism disabled for it)",
+                        path,
+                        getattr(leaf, "shape", ()),
+                        model_axes,
+                        axis_name,
+                    )
                     spec = P()
                     break
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, state)
+
+
+def sharding_report(state: tp.Any, mesh: Mesh) -> dict[str, int]:
+    """How many parameter *elements* are sharded vs replicated under the
+    mesh — the observability hook for "is tp actually engaged?"."""
+    shardings = state_shardings(state, mesh)
+    counts = {"sharded": 0, "replicated": 0}
+    for leaf, sh in zip(jax.tree.leaves(state), jax.tree.leaves(shardings)):
+        size = int(getattr(leaf, "size", 0) or 0)
+        if isinstance(sh, NamedSharding) and any(s is not None for s in sh.spec):
+            counts["sharded"] += size
+        else:
+            counts["replicated"] += size
+    return counts

@@ -60,6 +60,42 @@ def test_mesh_training(model_parallel):
     assert np.isfinite(trainer.history[-1]["val/pearson"])
 
 
+def test_tp_engages_on_flagship_shapes(caplog):
+    """At the real flagship shapes (3072-d trunk, 1000-parcel readouts),
+    tp=2 must shard the majority of trainable elements — a silent
+    replicate-everything fallback trains slower with zero signal."""
+    import jax.numpy as jnp
+
+    from algonauts2025_tpu.parallel.sharding import sharding_report
+
+    mesh = get_mesh(n_devices=8, model_parallel=2)
+    # param-shaped abstract tree: flagship readout + one trunk block
+    params = {
+        "predictor": {
+            "weights": jnp.zeros((4, 3072, 1000)),
+            "bias": jnp.zeros((4, 1000)),
+        },
+        "blocks": {
+            "ff": {"in": {"kernel": jnp.zeros((8, 3072, 12288))},
+                   "out": {"kernel": jnp.zeros((8, 12288, 3072))}},
+            "qkv": {"kernel": jnp.zeros((8, 3072, 9216))},
+        },
+        "time_pos_embed": jnp.zeros((1, 1024, 3072)),
+    }
+    report = sharding_report(params, mesh)
+    total = report["sharded"] + report["replicated"]
+    assert report["sharded"] / total > 0.9, report
+
+    # a readout that does not divide the model axis must replicate LOUDLY
+    import logging
+
+    bad = {"predictor": {"weights": jnp.zeros((4, 3072, 999))}}
+    with caplog.at_level(logging.WARNING, logger="algonauts2025_tpu.parallel.sharding"):
+        report = sharding_report(bad, mesh)
+    assert report["sharded"] == 0
+    assert any("does not divide model" in r.message for r in caplog.records)
+
+
 def test_dp_matches_single_device():
     """One DP step over the mesh == the same step on one device."""
     mesh = get_mesh(n_devices=8, model_parallel=1)
