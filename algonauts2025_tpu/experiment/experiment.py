@@ -308,7 +308,7 @@ class Experiment(pydantic.BaseModel):
         self, trainer: BrainTrainer, test_ds: SegmentDataset, batch_size: int
     ) -> None:
         submission: dict[str, dict[str, list[np.ndarray]]] = {}
-        season = ""
+        seasons: dict[str, set[str]] = {}
         loader = test_ds.batches(batch_size=batch_size)
         for preds, batch in trainer.predict(loader):
             for i, segment in enumerate(batch.segments):
@@ -317,6 +317,7 @@ class Experiment(pydantic.BaseModel):
                 # chunk name follows the data (reference callbacks.py:66-68
                 # hardcodes "s07"; a non-s7 test split would mislabel there)
                 season = self._season_prefix(ev.movie.unique()[0])
+                seasons.setdefault(subject, set()).add(season)
                 chunk = season + ev.chunk.unique()[0].split(":")[1]
                 pred = preds[i].T  # (T, n_outputs)
                 submission.setdefault(subject, {}).setdefault(chunk, []).append(pred)
@@ -324,15 +325,18 @@ class Experiment(pydantic.BaseModel):
         root = Path(self.data.study.path) / "download" / "algonauts_2025.competitors"
         out: dict[str, dict[str, np.ndarray]] = {}
         for subject, chunks in submission.items():
-            tag = self._samples_tag(season)
-            samples_file = (
-                root
-                / "fmri"
-                / subject
-                / "target_sample_number"
-                / f"{subject}_{tag}_fmri_samples.npy"
-            )
-            target = np.load(samples_file, allow_pickle=True).item()
+            # merge the target sample counts of every season this subject's
+            # test chunks came from
+            target: dict[str, int] = {}
+            for season in sorted(seasons[subject]):
+                samples_file = (
+                    root
+                    / "fmri"
+                    / subject
+                    / "target_sample_number"
+                    / f"{subject}_{self._samples_tag(season)}_fmri_samples.npy"
+                )
+                target.update(np.load(samples_file, allow_pickle=True).item())
             out[subject] = {}
             for chunk, n_samples in target.items():
                 if chunk not in chunks:

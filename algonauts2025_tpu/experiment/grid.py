@@ -86,7 +86,7 @@ def run_grid(
     template = exp_cls(**ConfDict(base_config).to_dict())
     template.infra.mode = infra_mode
     out_configs = []
-    with template.infra.job_array(allow_empty=True) as tasks:
+    with template.infra.job_array() as tasks:
         for params in grid_product:
             config = _expand(params)
             if config is None:

@@ -55,6 +55,8 @@ def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
 
 def select_diverse_subset(corr: np.ndarray, k: int) -> list[int]:
     """Greedy min-total-|corr| selection of k indices."""
+    if k > corr.shape[0]:
+        raise ValueError(f"cannot pick {k} diverse runs out of {corr.shape[0]}")
     chosen = [int(np.argmin(np.abs(corr).sum(axis=0)))]
     while len(chosen) < k:
         cost = np.abs(corr[:, chosen]).sum(axis=1)

@@ -203,12 +203,18 @@ def flash_attention(
             f"flash_attention requires T divisible by blocks, got {t} "
             f"({q_block}/{kv_block}); pick block sizes dividing T"
         )
-    if not causal and lengths is None:
-        # fast path: fold scale into q, row sums ride the PV matmul; a
-        # larger kv block amortizes loop bookkeeping (s fits scoped VMEM
-        # up to q_block*kv_block*4B ~ 4 MB)
+    if not causal and lengths is None and d % 128:
+        # fast path: fold scale into q, row sums ride the PV matmul through
+        # a ones-lane in the head-dim padding (hence d % 128 != 0: a full
+        # head dim would force an extra 128-lane tile).  A larger kv block
+        # amortizes loop bookkeeping while s fits scoped VMEM (~4 MB) and
+        # still divides T.
         kvb = kv_block
-        while kvb * 2 <= t and q_block * kvb * 2 * 4 <= 4 * 1024 * 1024:
+        while (
+            kvb * 2 <= t
+            and t % (kvb * 2) == 0
+            and q_block * kvb * 2 * 4 <= 4 * 1024 * 1024
+        ):
             kvb *= 2
         return _fast_flash(q, k, v, q_block, kvb, interpret)
     pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]

@@ -52,17 +52,23 @@ def tokens(path: Path) -> list[str]:
         toks = list(tokenize.generate_tokens(io.StringIO(src).readline))
     except Exception:
         return src.split()
-    prev_was_suite_start = True
+    # a docstring is a STRING token in statement position: at file start or
+    # right after NEWLINE/INDENT/DEDENT in the RAW stream (dict values and
+    # other expression strings must be kept — they are real content)
+    at_stmt_start = True
     for t in toks:
-        if t.type in (tokenize.COMMENT, tokenize.NL, tokenize.NEWLINE,
-                      tokenize.INDENT, tokenize.DEDENT, tokenize.ENCODING,
-                      tokenize.ENDMARKER):
-            continue
-        if t.type == tokenize.STRING and prev_was_suite_start:
-            # docstring position (statement start after def/class/newline)
-            continue
-        prev_was_suite_start = t.type == tokenize.OP and t.string in (":",)
-        out.append(f"{t.type}:{t.string}")
+        skip = t.type in (tokenize.COMMENT, tokenize.NL, tokenize.NEWLINE,
+                          tokenize.INDENT, tokenize.DEDENT, tokenize.ENCODING,
+                          tokenize.ENDMARKER)
+        if t.type in (tokenize.NEWLINE, tokenize.INDENT, tokenize.DEDENT):
+            at_stmt_start = True
+        elif t.type not in (tokenize.COMMENT, tokenize.NL, tokenize.ENCODING):
+            if t.type == tokenize.STRING and at_stmt_start:
+                at_stmt_start = False
+                continue
+            at_stmt_start = False
+        if not skip:
+            out.append(f"{t.type}:{t.string}")
     return out
 
 

@@ -242,6 +242,21 @@ def test_flash_attention_causal_masked(rng):
         )
 
 
+def test_flash_attention_awkward_t_and_full_head_dim(rng):
+    """Fast-path guards: kv-block widening must keep dividing T (t=768
+    would otherwise silently drop the trailing keys), and d % 128 == 0
+    must not take the ones-lane path (it would double the padded width)."""
+    from algonauts2025_tpu.ops.flash_attention import flash_attention
+
+    for t, d in ((768, 16), (256, 128)):
+        q = jnp.asarray(rng.standard_normal((1, 2, t, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((1, 2, t, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((1, 2, t, d)).astype(np.float32))
+        ref = dot_product_attention(q, k, v)
+        out = flash_attention(q, k, v, q_block=256, kv_block=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
 def test_flash_attention_zero_length_row(rng):
     """A batch row with lengths == 0 must produce zeros, not a uniform
     average of the padded values."""
