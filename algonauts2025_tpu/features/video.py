@@ -41,13 +41,20 @@ class VideoBackbone:
 
 
 class JaxVideoBackbone(VideoBackbone):
-    def __init__(self, model, params, n_frames: int = 64, crop_size: int = 256):
+    """Jit'd window encoder; with ``mesh`` the window batch shards over the
+    mesh's "data" axis (params replicated) so feature extraction scales
+    across chips the same way training does."""
+
+    def __init__(
+        self, model, params, n_frames: int = 64, crop_size: int = 256, mesh=None
+    ):
         import jax
 
         self.model = model
         self.params = params
         self.n_frames = n_frames
         self.crop_size = crop_size
+        self.mesh = mesh
 
         from ..ops.video_prep import preprocess_frames
 
@@ -58,7 +65,20 @@ class JaxVideoBackbone(VideoBackbone):
                 return jnp_mean_tokens(states)  # (L+1, B, N, D) -> (B, L+1, D)
             return jnp_swap(states)  # token-pooled (L+1, B, D) -> (B, L+1, D)
 
-        self._fn = jax.jit(fn)  # params passed as argument, not constant
+        if mesh is None:
+            self._fn = jax.jit(fn)  # params passed as argument, not constant
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            params_sh = jax.tree.map(lambda _: rep, params)
+            self._fn = jax.jit(
+                fn,
+                in_shardings=(params_sh, batch_sh),
+                out_shardings=batch_sh,  # (B, L+1, D): batch axis stays sharded
+            )
+            self.params = jax.device_put(params, rep)
 
     def encode_windows(self, windows: np.ndarray) -> np.ndarray:
         return np.asarray(self._fn(self.params, windows))

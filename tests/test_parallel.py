@@ -114,3 +114,22 @@ def test_dp_matches_single_device():
     pm = jax.device_get(sm.params["time_pos_embed"])
     ps = jax.device_get(ss.params["time_pos_embed"])
     np.testing.assert_allclose(pm, ps, atol=1e-5)
+
+
+def test_video_feature_extraction_shards_over_mesh():
+    """Window batches shard over the "data" axis; outputs match the
+    single-device path exactly (feature extraction scales like training)."""
+    from algonauts2025_tpu.features.video import JaxVideoBackbone, TinyVideoBackbone
+
+    mesh = get_mesh(n_devices=8, model_parallel=1)
+    single = TinyVideoBackbone(hidden_size=32, num_layers=2, n_frames=4, crop_size=32)
+    sharded = JaxVideoBackbone(
+        single.model, single.params, n_frames=4, crop_size=32, mesh=mesh
+    )
+    rng = np.random.default_rng(0)
+    windows = rng.integers(0, 255, (8, 4, 32, 32, 3), dtype=np.uint8)
+    out_single = single.encode_windows(windows)
+    out_sharded = sharded.encode_windows(windows)
+    np.testing.assert_allclose(out_sharded, out_single, atol=1e-5)
+    dev = sharded.encode_windows_async(windows)
+    assert "data" in str(dev.sharding.spec)
