@@ -30,12 +30,21 @@ def ref():
     """The reference data_utils modules, loaded without its __init__."""
     if "data_utils" in sys.modules and not hasattr(sys.modules["data_utils"], "__synthetic__"):
         del sys.modules["data_utils"]
+    if "exca" not in sys.modules:
+        # the enhancers module only needs the discriminator constant
+        exca = types.ModuleType("exca")
+        exca_utils = types.ModuleType("exca.utils")
+        exca_utils.DISCRIMINATOR_FIELD = "name"
+        exca.utils = exca_utils
+        sys.modules["exca"] = exca
+        sys.modules["exca.utils"] = exca_utils
     pkg = types.ModuleType("data_utils")
     pkg.__path__ = [str(REF)]
     pkg.__synthetic__ = True
     sys.modules["data_utils"] = pkg
     loaded = {}
-    for name in ("base", "utils", "events", "splitting", "segments", "helpers"):
+    for name in ("base", "utils", "events", "splitting", "segments", "helpers",
+                 "enhancers"):
         spec = importlib.util.spec_from_file_location(
             f"data_utils.{name}", REF / f"{name}.py"
         )
@@ -146,6 +155,98 @@ def test_chunk_events_matches_reference(ref, tmp_path):
     # the only column the rewrite drops is the reference's stray itertuples
     # "Index"; everything else matches
     assert set(theirs.columns) - set(ours.columns) <= {"Index"}
+
+
+def _annotated_words(seed: int = 7, unmatched: float = 0.1) -> pd.DataFrame:
+    """Word rows as AddSentenceToWords would leave them: sentence text +
+    char offsets, occasional unmatched words, alternating split labels."""
+    rng = np.random.default_rng(seed)
+    vocab = "the cat sat on a mat while dogs ran far away again".split()
+    rows = []
+    t = 0.0
+    for tl in ("t1", "t2"):
+        for si in range(6):
+            n = int(rng.integers(2, 6))
+            words = list(rng.choice(vocab, n))
+            sentence = " ".join(words).capitalize() + ". "
+            char = 0
+            for k, w in enumerate(words):
+                text = words[0].capitalize() if k == 0 else w
+                miss = rng.random() < unmatched
+                rows.append(
+                    dict(
+                        type="Word",
+                        text=text,
+                        start=round(t, 3),
+                        duration=0.2,
+                        timeline=tl,
+                        sentence="" if miss else sentence,
+                        sentence_char=np.nan if miss else float(char),
+                        split=("train", "val")[si % 2],
+                        language="english",
+                    )
+                )
+                char += len(text) + 1
+                t += 0.35
+            t += 0.5
+    return pd.DataFrame(rows)
+
+
+def test_extract_sentences_matches_reference(ref):
+    from algonauts2025_tpu.data.enhancers import _extract_sentences
+
+    frame = _annotated_words()
+    ours = _extract_sentences(frame)
+    theirs = ref.enhancers._extract_sentences(frame)
+    assert len(ours) == len(theirs)
+    for a, b in zip(ours, theirs):
+        assert a.text == b.text
+        assert a.timeline == b.timeline
+        assert a.start == pytest.approx(b.start)
+        assert a.duration == pytest.approx(b.duration)
+
+
+def test_assign_sentence_split_matches_reference(ref):
+    from algonauts2025_tpu.data.enhancers import AssignSentenceSplit
+
+    for ratios in ((0.7, 0.2, 0.1), (1.0, 0.0, 0.0)):
+        frame = _annotated_words()
+        ours = AssignSentenceSplit(
+            ratios=ratios, seed=5, max_unmatched_ratio=0.5
+        )(frame.copy())
+        theirs = ref.enhancers.AssignSentenceSplit(
+            ratios=ratios, seed=5, max_unmatched_ratio=0.5
+        )(frame.copy())
+        a = ours["split"].fillna("#na#").tolist()
+        b = theirs["split"].fillna("#na#").tolist()
+        assert a == b, ratios
+
+
+def test_add_context_matches_reference(ref):
+    from algonauts2025_tpu.data.enhancers import AddContextToWords
+
+    for kwargs in (
+        dict(sentence_only=False, max_context_len=12, split_field="split"),
+        dict(sentence_only=True, split_field=""),
+    ):
+        frame = _annotated_words()
+        ours = AddContextToWords(**kwargs)(frame.copy())
+        theirs = ref.enhancers.AddContextToWords(**kwargs)(frame.copy())
+        assert ours["context"].tolist() == theirs["context"].tolist(), kwargs
+
+
+def test_merge_sentences_matches_reference(ref):
+    from algonauts2025_tpu.data.enhancers import _extract_sentences, _merge_sentences
+
+    frame = _annotated_words(unmatched=0.0)
+    sentences = _extract_sentences(frame)
+    ref_sentences = ref.enhancers._extract_sentences(frame)
+    for kwargs in (dict(min_duration=3.0), dict(min_words=6), dict()):
+        ours = _merge_sentences(sentences, **kwargs)
+        theirs = ref.enhancers._merge_sentences(ref_sentences, **kwargs)
+        assert [[s.text for s in g] for g in ours] == [
+            [s.text for s in g] for g in theirs
+        ], kwargs
 
 
 def test_segments_match_reference(ref, tmp_path):
