@@ -57,6 +57,42 @@ def pearson_loss(
     return jnp.mean(1 - pcc)
 
 
+def bce_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.Array:
+    p = jnp.clip(pred, eps, 1 - eps)
+    return -jnp.mean(target * jnp.log(p) + (1 - target) * jnp.log1p(-p))
+
+
+def bce_with_logits_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    # log-sum-exp form, numerically stable for large |pred|
+    return jnp.mean(
+        jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    )
+
+
+def kl_div_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """torch.nn.KLDivLoss semantics: pred is log-probabilities, target is
+    probabilities; default "mean" reduction averages over all elements."""
+    safe = jnp.where(target > 0, target * (jnp.log(jnp.maximum(target, 1e-38)) - pred), 0.0)
+    return jnp.mean(safe)
+
+
+def poisson_nll_loss(pred: jax.Array, target: jax.Array, log_input: bool = True,
+                     eps: float = 1e-8) -> jax.Array:
+    if log_input:
+        return jnp.mean(jnp.exp(pred) - target * pred)
+    return jnp.mean(pred - target * jnp.log(pred + eps))
+
+
+def cross_entropy_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """torch CrossEntropyLoss with probability targets over the last axis."""
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    return jnp.mean(-jnp.sum(target * logp, axis=-1))
+
+
+def soft_margin_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.log1p(jnp.exp(-target * pred)))
+
+
 _TORCH_STYLE_LOSSES: dict[str, tp.Callable[..., LossFn]] = {
     "MSELoss": lambda **kw: mse_loss,
     "L1Loss": lambda **kw: l1_loss,
@@ -66,6 +102,14 @@ _TORCH_STYLE_LOSSES: dict[str, tp.Callable[..., LossFn]] = {
     "SmoothL1Loss": lambda beta=1.0, **kw: (
         lambda p, t: smooth_l1_loss(p, t, beta=beta)
     ),
+    "BCELoss": lambda **kw: bce_loss,
+    "BCEWithLogitsLoss": lambda **kw: bce_with_logits_loss,
+    "KLDivLoss": lambda **kw: kl_div_loss,
+    "PoissonNLLLoss": lambda log_input=True, **kw: (
+        lambda p, t: poisson_nll_loss(p, t, log_input=log_input)
+    ),
+    "CrossEntropyLoss": lambda **kw: cross_entropy_loss,
+    "SoftMarginLoss": lambda **kw: soft_margin_loss,
 }
 
 

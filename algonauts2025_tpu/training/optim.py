@@ -55,10 +55,23 @@ class OptimizerConfig(pydantic.BaseModel):
         if name == "Adagrad":
             return optax.adagrad(schedule)
         if name == "RMSprop":
-            return optax.rmsprop(schedule)
+            return optax.rmsprop(schedule, momentum=momentum)
         if name == "Lion":
             return optax.lion(schedule, weight_decay=weight_decay)
-        raise ValueError(f"Unknown optimizer: {name}")
+        # remaining torch.optim family members with optax equivalents
+        simple = {
+            "Adamax": lambda: optax.adamax(schedule, b1=b1, b2=b2, eps=eps),
+            "NAdam": lambda: optax.nadam(schedule, b1=b1, b2=b2, eps=eps),
+            "RAdam": lambda: optax.radam(schedule, b1=b1, b2=b2, eps=eps),
+            "Adadelta": lambda: optax.adadelta(schedule),
+            "Adafactor": lambda: optax.adafactor(schedule),
+            "LAMB": lambda: optax.lamb(schedule, b1=b1, b2=b2, eps=eps,
+                                       weight_decay=weight_decay),
+        }
+        if name in simple:
+            return simple[name]()
+        raise ValueError(f"Unknown optimizer: {name} (use one of "
+                         f"Adam/AdamW/SGD/Adagrad/RMSprop/Lion/{'/'.join(simple)})")
 
 
 class SchedulerConfig(pydantic.BaseModel):

@@ -156,6 +156,54 @@ def test_losses():
     assert float(fn(p, t)) > 0.1
 
 
+def test_losses_match_torch():
+    """Every registered torch-named loss matches torch.nn on the same
+    inputs (mean reduction, default kwargs)."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    raw = rng.standard_normal((24, 7)).astype(np.float32)
+    tgt = rng.standard_normal((24, 7)).astype(np.float32)
+    probs = 1 / (1 + np.exp(-raw))
+    tprob = 1 / (1 + np.exp(-tgt))
+    logp = np.log(probs / probs.sum(-1, keepdims=True))
+    psum = tprob / tprob.sum(-1, keepdims=True)
+    signs = np.sign(tgt) + (tgt == 0)
+    counts = np.abs(tgt) * 3
+
+    cases = {
+        "MSELoss": (raw, tgt, torch.nn.MSELoss()),
+        "L1Loss": (raw, tgt, torch.nn.L1Loss()),
+        "HuberLoss": (raw, tgt, torch.nn.HuberLoss()),
+        "SmoothL1Loss": (raw, tgt, torch.nn.SmoothL1Loss()),
+        "BCELoss": (probs, tprob, torch.nn.BCELoss()),
+        "BCEWithLogitsLoss": (raw, tprob, torch.nn.BCEWithLogitsLoss()),
+        "KLDivLoss": (logp, psum, torch.nn.KLDivLoss(reduction="mean")),
+        "PoissonNLLLoss": (raw, counts, torch.nn.PoissonNLLLoss(full=False)),
+        "CrossEntropyLoss": (raw, psum, torch.nn.CrossEntropyLoss()),
+        "SoftMarginLoss": (raw, signs, torch.nn.SoftMarginLoss()),
+    }
+    for name, (a, b, ref) in cases.items():
+        ours = float(build_loss({"name": name})(jnp.asarray(a), jnp.asarray(b)))
+        theirs = float(ref(torch.from_numpy(a), torch.from_numpy(b)))
+        assert ours == pytest.approx(theirs, rel=1e-4, abs=1e-5), name
+
+
+def test_optimizer_registry_smoke():
+    from algonauts2025_tpu.training import OptimConfig
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 0.1), "b": jnp.full((4,), 0.1)}
+    for name in ["Adam", "AdamW", "SGD", "Adagrad", "RMSprop", "Lion",
+                 "Adamax", "NAdam", "RAdam", "Adadelta", "LAMB"]:
+        tx, _ = OptimConfig(optimizer={"name": name, "lr": 1e-3}).build(total_steps=10)
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        assert np.isfinite(np.asarray(updates["w"])).all(), name
+    with pytest.raises(ValueError, match="Unknown optimizer"):
+        OptimConfig(optimizer={"name": "Nope", "lr": 1e-3}).build(total_steps=10)
+
+
 def test_metrics_surface():
     m = build_metric(
         {"log_name": "pearson", "name": "MultidimPearsonCorrCoef", "kwargs": {"num_outputs": 5}}
