@@ -187,3 +187,43 @@ def test_job_array(tmp_path):
     with infra.job_array() as tasks:
         tasks.extend(T(i=i) for i in range(3))
     assert sorted(ran) == [0, 1, 2]
+
+
+def test_job_array_threadpool(tmp_path):
+    import threading
+
+    seen_threads = set()
+    ran = []
+
+    class T(pydantic.BaseModel):
+        i: int
+
+        def run(self):
+            seen_threads.add(threading.get_ident())
+            ran.append(self.i)
+
+    infra = TaskInfra(folder=tmp_path, cluster="threadpool", max_workers=3)
+    with infra.job_array() as tasks:
+        tasks.extend(T(i=i) for i in range(6))
+    assert sorted(ran) == list(range(6))
+
+
+def test_job_array_threadpool_propagates_failure(tmp_path):
+    class T(pydantic.BaseModel):
+        i: int
+
+        def run(self):
+            if self.i == 1:
+                raise RuntimeError("boom")
+
+    infra = TaskInfra(folder=tmp_path, cluster="threadpool", max_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        with infra.job_array() as tasks:
+            tasks.extend(T(i=i) for i in range(3))
+
+
+def test_empty_job_array_raises(tmp_path):
+    infra = TaskInfra(folder=tmp_path)
+    with pytest.raises(RuntimeError, match="Empty job array"):
+        with infra.job_array():
+            pass
