@@ -113,6 +113,7 @@ class TinyVideoBackbone(JaxVideoBackbone):
         n_frames: int = 8,
         crop_size: int = 32,
         seed: int = 0,
+        quantize: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -129,6 +130,7 @@ class TinyVideoBackbone(JaxVideoBackbone):
             num_heads=4,
             mlp_ratio=2.0,
             dtype=jnp.float32,
+            quantize=quantize,
         )
         model = VJEPA2Backbone(cfg)
         params = jax.jit(
@@ -139,7 +141,7 @@ class TinyVideoBackbone(JaxVideoBackbone):
         super().__init__(model, params, n_frames=n_frames, crop_size=crop_size)
 
 
-def load_hf_video_backbone(model_name: str) -> JaxVideoBackbone:
+def load_hf_video_backbone(model_name: str, quantize: bool = False) -> JaxVideoBackbone:
     import jax.numpy as jnp
     from transformers import AutoModel
 
@@ -161,6 +163,7 @@ def load_hf_video_backbone(model_name: str) -> JaxVideoBackbone:
         num_heads=c.num_attention_heads,
         mlp_ratio=c.mlp_ratio,
         dtype=jnp.bfloat16,
+        quantize=quantize,
     )
     params = params_from_hf(hf_model.state_dict(), cfg)
     return JaxVideoBackbone(
@@ -175,6 +178,10 @@ class VJEPA2(LayeredFeatureBase):
     name: tp.Literal["VJEPA2"] = "VJEPA2"
     model_name: str = "facebook/vjepa2-vitg-fpc64-256"
     window_batch: int = 4
+    #: w8a8 int8 backbone matmuls (2x MXU rate); changes feature values, so
+    #: it is part of the cache identity and OFF until it passes the
+    #: ACCURACY.md gate on real data
+    quantize: bool = False
 
     event_type: tp.ClassVar[str] = "Video"
     frequency: tp.ClassVar[float] = OUTPUT_HZ
@@ -195,10 +202,12 @@ class VJEPA2(LayeredFeatureBase):
     def backbone(self) -> VideoBackbone:
         if self._backbone is None:
             if self.model_name == "tiny-random":
-                self._backbone = TinyVideoBackbone()
+                self._backbone = TinyVideoBackbone(quantize=self.quantize)
             else:
                 try:
-                    self._backbone = load_hf_video_backbone(self.model_name)
+                    self._backbone = load_hf_video_backbone(
+                        self.model_name, quantize=self.quantize
+                    )
                 except Exception as e:
                     logger.warning(
                         "Could not load %s (%s); using TinyVideoBackbone",

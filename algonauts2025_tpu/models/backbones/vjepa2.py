@@ -39,6 +39,48 @@ class VJEPA2Config:
     mlp_ratio: float = 48 / 11
     layer_norm_eps: float = 1e-6
     dtype: tp.Any = jnp.bfloat16
+    #: w8a8 int8 matmuls for qkv/proj/mlp (2x MXU rate on v5e); opt-in —
+    #: quantized features live in their own cache universe (ops/quant.py)
+    quantize: bool = False
+
+
+def _int8_init(key, shape, dtype=jnp.int8):
+    return jax.random.randint(key, shape, -127, 128, jnp.int8)
+
+
+class _QDense(nn.Module):
+    """Dense over pre-quantized int8 weights + per-column scales."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ...ops.quant import int8_matmul
+
+        kernel_q = self.param("kernel_q", _int8_init, (x.shape[-1], self.features))
+        scale = self.param(
+            "scale", nn.initializers.constant(0.01), (self.features,), jnp.float32
+        )
+        y = int8_matmul(x, kernel_q, scale)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias
+        return y.astype(x.dtype)
+
+
+def _dense_factory(cfg: "VJEPA2Config"):
+    def dense(name: str, features: int | None = None, bias: bool = True):
+        features = cfg.hidden_size if features is None else features
+        if cfg.quantize:
+            return _QDense(features, use_bias=bias, name=name)
+        return nn.Dense(
+            features, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.dtype, name=name
+        )
+
+    return dense
 
 
 VJEPA2_VITG = VJEPA2Config()
@@ -93,9 +135,7 @@ class VJEPA2Attention(nn.Module):
         b, n, _ = x.shape
         h = cfg.num_heads
         hd = cfg.hidden_size // h
-        dense = lambda name, features=cfg.hidden_size, bias=True: nn.Dense(
-            features, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.dtype, name=name
-        )
+        dense = _dense_factory(cfg)
         q = dense("query")(x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
         k = dense("key")(x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
         v = dense("value")(x).reshape(b, n, h, hd).transpose(0, 2, 1, 3)
@@ -145,10 +185,11 @@ class VJEPA2Block(nn.Module):
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name=name
         )
         x = x + VJEPA2Attention(cfg, name="attn")(ln("norm1")(x), rope)
+        dense = _dense_factory(cfg)
         h = ln("norm2")(x)
-        h = nn.Dense(int(cfg.hidden_size * cfg.mlp_ratio), dtype=cfg.dtype, param_dtype=cfg.dtype, name="fc1")(h)
+        h = dense("fc1", int(cfg.hidden_size * cfg.mlp_ratio))(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, param_dtype=cfg.dtype, name="fc2")(h)
+        h = dense("fc2", cfg.hidden_size)(h)
         x = x + h
         if self.token_pool:
             # emit only the token mean: saves a (T, D) fp32 HBM write per
@@ -232,6 +273,15 @@ def params_from_hf(state_dict: tp.Mapping[str, tp.Any], cfg: VJEPA2Config) -> di
         return jnp.asarray(w)
 
     def linear(prefix):
+        if cfg.quantize:
+            from ...ops.quant import quantize_dense_params
+
+            return quantize_dense_params(
+                {
+                    "kernel": arr(prefix + ".weight", transpose=True),
+                    "bias": arr(prefix + ".bias"),
+                }
+            )
         return {
             "kernel": jnp.asarray(arr(prefix + ".weight", transpose=True), cfg.dtype),
             "bias": jnp.asarray(arr(prefix + ".bias"), cfg.dtype),

@@ -1,0 +1,75 @@
+"""int8 inference path (opt-in): matmul fidelity and backbone drift."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from algonauts2025_tpu.ops.quant import (
+    int8_matmul,
+    quantize_dense_params,
+    quantize_tree,
+    quantize_weight,
+)
+
+
+def test_int8_matmul_close_to_float(rng):
+    x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 96)).astype(np.float32))
+    w_q, scale = quantize_weight(w)
+    ours = np.asarray(int8_matmul(x, w_q, scale))
+    ref = np.asarray(x @ w)
+    rel = np.linalg.norm(ours - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel  # w8a8 on gaussian data: ~1% relative error
+
+
+def test_quantize_stacked_scan_params(rng):
+    stacked = {"kernel": rng.standard_normal((3, 16, 8)).astype(np.float32),
+               "bias": np.zeros((3, 8), np.float32)}
+    q = quantize_dense_params(stacked)
+    assert q["kernel_q"].shape == (3, 16, 8) and q["kernel_q"].dtype == jnp.int8
+    assert q["scale"].shape == (3, 8)  # per-layer, per-column scales
+
+
+def test_quantized_backbone_matches_float():
+    """Convert a float tiny ViT's params to int8 and compare end to end."""
+    from algonauts2025_tpu.models.backbones.vjepa2 import (
+        VJEPA2Backbone,
+        VJEPA2Config,
+    )
+    import dataclasses
+
+    cfg = VJEPA2Config(
+        crop_size=32, patch_size=16, tubelet_size=2, frames_per_clip=4,
+        hidden_size=64, num_layers=2, num_heads=4, mlp_ratio=2.0,
+        dtype=jnp.float32,
+    )
+    model = VJEPA2Backbone(cfg, token_pool=True)
+    pixels = jax.random.uniform(jax.random.PRNGKey(1), (2, 4, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), pixels)["params"]
+    ref = np.asarray(model.apply({"params": params}, pixels))
+
+    qcfg = dataclasses.replace(cfg, quantize=True)
+    qmodel = VJEPA2Backbone(qcfg, token_pool=True)
+    qparams = quantize_tree(params)
+    out = np.asarray(qmodel.apply({"params": qparams}, pixels))
+
+    assert out.shape == ref.shape
+    a = ref.reshape(-1, ref.shape[-1])
+    b = out.reshape(-1, out.shape[-1])
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.98, cos.min()
+
+
+def test_feature_config_quantize_is_cache_relevant():
+    """quantize changes feature values -> must be part of the cache uid."""
+    from algonauts2025_tpu.config.uid import config_uid
+    from algonauts2025_tpu.features.video import VJEPA2
+
+    a = VJEPA2(model_name="tiny-random")
+    b = VJEPA2(model_name="tiny-random", quantize=True)
+    assert config_uid(a) != config_uid(b)
+    # window_batch, by contrast, never changes values
+    c = VJEPA2(model_name="tiny-random", window_batch=8)
+    assert config_uid(a) == config_uid(c)
