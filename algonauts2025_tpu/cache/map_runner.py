@@ -117,10 +117,30 @@ class CachedMap:
                 len(seen),
                 store.folder,
             )
-
-            def _results() -> tp.Iterator[tuple[str, np.ndarray]]:
-                for u, arr in zip(missing_uids, self.fn(to_compute)):
-                    yield u, np.asarray(arr)
-
-            store.append_many(_results())
+            store.append_many(self._compute(missing_uids, to_compute))
         return [store[u] for u in uids]
+
+    def _compute(
+        self, missing_uids: list[str], to_compute: list
+    ) -> tp.Iterator[tuple[str, np.ndarray]]:
+        """Run the bulk fn over missing items; with cluster="threadpool"/
+        "processpool" the items are chunked over host threads (IO-bound
+        readers — device-bound fns serialize on the stream anyway)."""
+        workers = self.infra.max_jobs or 4
+        if self.infra.cluster in ("threadpool", "processpool") and len(to_compute) > 1:
+            import concurrent.futures
+
+            n = min(workers, len(to_compute))
+            chunks = [
+                (missing_uids[k::n], to_compute[k::n]) for k in range(n)
+            ]
+            with concurrent.futures.ThreadPoolExecutor(n) as pool:
+                futures = [
+                    pool.submit(lambda c=c: list(zip(c[0], map(np.asarray, self.fn(c[1])))))
+                    for c in chunks
+                ]
+                for fut in futures:
+                    yield from fut.result()
+            return
+        for u, arr in zip(missing_uids, self.fn(to_compute)):
+            yield u, np.asarray(arr)

@@ -116,7 +116,12 @@ class TaskInfra(pydantic.BaseModel):
                 with open(self._result_path(), "rb") as f:
                     return pickle.load(f)
             except Exception:
-                return None
+                # corrupted/truncated result (crash mid-write, disk full):
+                # recompute instead of silently serving None
+                logger.warning(
+                    "Cached result for %s is unreadable; recomputing", self.uid()
+                )
+                self.clear_job()
         elif status == "failed" and self.mode != "retry":
             raise RuntimeError(
                 f"Task {self.uid()} previously failed; use mode='retry' or 'force'"
@@ -132,8 +137,13 @@ class TaskInfra(pydantic.BaseModel):
         try:
             with open(self._result_path(), "wb") as f:
                 pickle.dump(out, f)
-        except Exception:
-            logger.warning("Task result for %s is not picklable; caching None", self.uid())
+        except (pickle.PicklingError, TypeError, AttributeError):
+            # genuinely unpicklable result: the run still succeeded, cache a
+            # tombstone (IO errors, by contrast, must propagate — a partial
+            # write with status "completed" would poison the cache)
+            logger.warning(
+                "Task result for %s is not picklable; caching None", self.uid()
+            )
             with open(self._result_path(), "wb") as f:
                 pickle.dump(None, f)
         self._status_path().write_text(json.dumps({"status": "completed"}))
@@ -180,11 +190,14 @@ class TaskInfra(pydantic.BaseModel):
         import subprocess
         import time
 
+        import shlex
+
         launcher = os.environ.get("ALGONAUTS_TPU_LAUNCHER")
         if not launcher:
             raise RuntimeError(
                 "cluster='external' requires the ALGONAUTS_TPU_LAUNCHER env var"
             )
+        launcher_argv = shlex.split(launcher)
         assert self.folder is not None
         outdir = Path(self.folder) / "job_array"
         outdir.mkdir(parents=True, exist_ok=True)
@@ -233,7 +246,7 @@ class TaskInfra(pydantic.BaseModel):
             logger.info("launching array element %d (%s)", i, cfg_path.name)
             with open(log_path, "wb") as log_file:
                 proc = subprocess.Popen(
-                    launcher.split() + [str(cfg_path)],
+                    launcher_argv + [str(cfg_path)],
                     stdout=log_file,
                     stderr=subprocess.STDOUT,
                 )

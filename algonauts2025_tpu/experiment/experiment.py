@@ -39,6 +39,16 @@ from .tracking import WandbLoggerConfig
 
 logger = logging.getLogger(__name__)
 
+
+def _monitor_mode(monitor: str, metrics: tp.Mapping[str, tp.Any]) -> str:
+    """Checkpoint/early-stop direction from the monitored metric's own
+    higher_is_better flag (grouped metrics monitor "<name>/<group>")."""
+    for key in (monitor, monitor.rsplit("/", 1)[0]):
+        metric = metrics.get(key)
+        if metric is not None:
+            return "max" if metric.higher_is_better else "min"
+    return "min" if "loss" in monitor else "max"
+
 __all__ = ["Experiment"]
 
 N_OUTPUT_TIMESTEPS = 100
@@ -176,7 +186,7 @@ class Experiment(pydantic.BaseModel):
             config=TrainerConfig(
                 n_epochs=self.n_epochs,
                 monitor=self.monitor,
-                monitor_mode="max" if self.monitor == "val/pearson" else "min",
+                monitor_mode=_monitor_mode(self.monitor, metrics),
                 patience=self.patience,
                 contrastive_weight=self.brain_model_config.contrastive_weight,
                 limit_train_batches=self.limit_train_batches,
@@ -255,15 +265,21 @@ class Experiment(pydantic.BaseModel):
         results: dict[str, float] = {}
         if val_ds is not None:
             results.update(trainer.evaluate(val_loader(), split="val"))
-            # per-voxel pearson for ensemble weighting (reference pearson.npy)
-            pv = MultidimPearsonCorrCoef(num_outputs=n_outputs)
-            import jax.numpy as jnp
+            # per-voxel pearson for ensemble weighting (reference
+            # pearson.npy): reuse the streaming metric state accumulated by
+            # evaluate() — a second predict pass over val doubles inference
+            pv = trainer.metrics.get("val/pearson")
+            if not isinstance(pv, MultidimPearsonCorrCoef):
+                import jax.numpy as jnp
 
-            for preds, batch in trainer.predict(val_loader()):
-                y_true = batch.data["fmri"]
-                yp = np.swapaxes(preds, 1, 2).reshape(-1, preds.shape[1])
-                yt = np.swapaxes(np.asarray(y_true), 1, 2).reshape(-1, y_true.shape[1])
-                pv.update(jnp.asarray(yp), jnp.asarray(yt))
+                pv = MultidimPearsonCorrCoef(num_outputs=n_outputs)
+                for preds, batch in trainer.predict(val_loader()):
+                    y_true = batch.data["fmri"]
+                    yp = np.swapaxes(preds, 1, 2).reshape(-1, preds.shape[1])
+                    yt = np.swapaxes(np.asarray(y_true), 1, 2).reshape(
+                        -1, y_true.shape[1]
+                    )
+                    pv.update(jnp.asarray(yp), jnp.asarray(yt))
             np.save(Path(self.infra.folder) / "pearson.npy", pv.per_voxel())
 
         # metrics.csv (reference main.py:504-506)

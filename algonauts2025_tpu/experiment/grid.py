@@ -39,6 +39,7 @@ def run_grid(
     """Launch one experiment per grid point; returns the configs."""
     base = ConfDict(base_config)
     base["infra.job_name"] = exp_name
+    base_config = base.to_dict()  # per-task configs inherit the job name
     base_folder = Path(base["infra"]["folder"])
     assert all(isinstance(v, list) for v in grid.values()), "Grid values must be lists."
 

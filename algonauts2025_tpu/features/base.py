@@ -137,7 +137,7 @@ class FeatureBase(pydantic.BaseModel):
         if not result.ndim:
             result = result[None]
         if self._missing_default is None:
-            shape = result.shape[:-1] if self.frequency else result.shape[:-1]
+            shape = result.shape[:-1] if self.frequency else result.shape
             self._missing_default = np.zeros(shape, dtype=result.dtype)
         return result
 

@@ -184,7 +184,9 @@ def load_hf_text_backbone(model_name: str) -> JaxTextBackbone:
     )
     params = params_from_hf(hf_model.state_dict(), cfg)
     model = LlamaBackbone(cfg)
-    pad_id = tokenizer.pad_token_id or tokenizer.eos_token_id
+    pad_id = tokenizer.pad_token_id
+    if pad_id is None:  # `or` would discard a legitimate pad id of 0
+        pad_id = tokenizer.eos_token_id
     return JaxTextBackbone(model, params, tokenizer, pad_id)
 
 
@@ -206,6 +208,11 @@ class LLAMA3p2(LayeredFeatureBase):
 
     @staticmethod
     def item_uid(event: Event) -> str:
+        # the "{text}_{context}" key is the reference's cache contract
+        # (text.py:205) and is kept verbatim for cache parity.  It is
+        # ambiguous when a word itself contains "_" ("a", "b_c") vs
+        # ("a_b", "c") — inherited from the reference; transcripts contain
+        # no underscores.
         return f"{event.text}_{event.context}"  # type: ignore[attr-defined]
 
     def set_backbone(self, backbone: TextBackbone) -> None:

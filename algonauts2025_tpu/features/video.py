@@ -221,7 +221,7 @@ class VJEPA2(LayeredFeatureBase):
         backbone = self.backbone
         for event in events:
             clip = event.read()
-            expect_frames = Frequency(OUTPUT_HZ).to_ind(event.duration)
+            expect_frames = max(1, Frequency(OUTPUT_HZ).to_ind(event.duration))
             times = np.linspace(0, clip.duration, expect_frames + 1)[1:]
             outputs = []
             window_iter = clip.sliding_windows(

@@ -85,3 +85,77 @@ def test_stage_timer():
     assert report["decode"]["count"] == 2
     assert report["encode"]["total_s"] >= 0.005
     assert set(report) == {"decode", "encode"}
+
+
+def test_run_cached_recomputes_on_corrupt_result(tmp_path):
+    import pydantic
+
+    from algonauts2025_tpu.cache.task_cache import TaskInfra
+
+    class T(pydantic.BaseModel):
+        x: int = 1
+
+    infra = TaskInfra(folder=tmp_path)
+    infra.bind(T())
+    calls = []
+    out = infra.run_cached(lambda: calls.append(1) or {"v": 42})
+    assert out == {"v": 42}
+    # corrupt the cached pickle: a rerun must recompute, not return None
+    infra._result_path().write_bytes(b"\x80garbage")
+    out2 = infra.run_cached(lambda: calls.append(1) or {"v": 43})
+    assert out2 == {"v": 43}
+    assert len(calls) == 2
+    # and the repaired cache serves normally afterwards
+    out3 = infra.run_cached(lambda: calls.append(1) or {"v": 44})
+    assert out3 == {"v": 43} and len(calls) == 2
+
+
+def test_monitor_mode_from_metric_flags():
+    from algonauts2025_tpu.experiment.experiment import _monitor_mode
+    from algonauts2025_tpu.training.metrics import (
+        GroupedPearson,
+        MultidimPearsonCorrCoef,
+        Rank,
+    )
+
+    metrics = {
+        "val/pearson": MultidimPearsonCorrCoef(),
+        "val/subj_pearson": GroupedPearson(n_groups=2),
+        "val/rank": Rank(),
+    }
+    assert _monitor_mode("val/pearson", metrics) == "max"
+    assert _monitor_mode("val/subj_pearson/1", metrics) == "max"  # group key
+    assert _monitor_mode("val/rank", metrics) == "min"  # lower is better
+    assert _monitor_mode("val/loss", {}) == "min"
+    assert _monitor_mode("val/custom", {}) == "max"
+
+
+def test_cached_map_threadpool(tmp_path):
+    import pydantic
+
+    from algonauts2025_tpu.cache.map_runner import CachedMap, MapInfra
+
+    class Owner(pydantic.BaseModel):
+        tag: str = "o"
+
+    seen_batches = []
+
+    def fn(items):
+        seen_batches.append(list(items))
+        for it in items:
+            yield np.full((3,), float(it))
+
+    cm = CachedMap(
+        infra=MapInfra(folder=tmp_path, cluster="threadpool", max_jobs=3),
+        owner=Owner(),
+        method_name="m",
+        fn=fn,
+        item_uid=str,
+    )
+    out = cm(list(range(7)))
+    assert [int(o[0]) for o in out] == list(range(7))
+    assert len(seen_batches) == 3  # chunked over 3 workers
+    # second call: pure cache, order preserved, no recompute
+    out2 = cm([5, 1, 5])
+    assert [int(o[0]) for o in out2] == [5, 1, 5]
+    assert len(seen_batches) == 3
