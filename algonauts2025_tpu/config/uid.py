@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import typing as tp
 
 import pydantic
@@ -23,7 +24,11 @@ def _normalize(value: tp.Any) -> tp.Any:
         return {str(k): _normalize(v) for k, v in sorted(value.items())}
     if isinstance(value, (list, tuple)):
         return [_normalize(v) for v in value]
-    if isinstance(value, float) and value == int(value) and abs(value) < 1e12:
+    if isinstance(value, float):
+        if not math.isfinite(value):
+            return repr(value)  # 'inf'/'nan': json-safe and deterministic
+        if value == int(value) and abs(value) < 1e12:
+            return int(value)  # 2.0 and 2 are the same config value
         return value
     if isinstance(value, pydantic.BaseModel):
         return _normalize(value.model_dump())

@@ -18,6 +18,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import logging
+import contextlib
 import queue
 import threading
 import typing as tp
@@ -237,22 +238,40 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def _producer() -> None:
         try:
             for batch in iterator:
-                q.put(_put(batch))
+                staged = _put(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(staged, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate to consumer
             err.append(e)
         finally:
-            q.put(_END)
+            with contextlib.suppress(queue.Full):
+                q.put_nowait(_END)
 
     thread = threading.Thread(target=_producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer abandoned mid-epoch (limit_train_batches, fast_dev_run):
+        # unblock the producer and drop staged device batches so they free
+        stop.set()
+        while not q.empty():
+            with contextlib.suppress(queue.Empty):
+                q.get_nowait()

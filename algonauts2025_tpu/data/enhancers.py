@@ -234,6 +234,7 @@ class AddSentenceToWords(BaseEnhancer):
         events["sentence"] = pd.Series("", index=events.index, dtype=object)
 
         harvested: List[Dict[str, Any]] = []
+        seen_spans: Set[tuple] = set()
         for context in contexts.itertuples():
             enclosed = find_enclosed(
                 events, start=context.start, duration=context.duration
@@ -253,7 +254,15 @@ class AddSentenceToWords(BaseEnhancer):
             )
             events.loc[sel, matched.columns] = matched
             subject = getattr(context, "subject", None)
+            # _extract_sentences re-reads ALL annotated words, so with
+            # several Text contexts per timeline earlier contexts' sentences
+            # reappear; keep each span once (the reference duplicates them
+            # quadratically — deliberate divergence)
             for sentence in _extract_sentences(events):
+                span = (sentence.timeline, sentence.start, sentence.text)
+                if span in seen_spans:
+                    continue
+                seen_spans.add(span)
                 record = sentence.to_dict()
                 if subject is not None:
                     record["subject"] = subject
@@ -345,6 +354,8 @@ class AssignSentenceSplit(BaseEnhancer):
             events["timeline"] = "#foo#"
         word_rows = _word_mask(events)
         words = events.loc[word_rows, :]
+        if not len(words):
+            return events  # nothing to split (audio/video-only study)
         bad_ratio = sum(_invalid_sentence(words.sentence)) / len(words)
         if bad_ratio > self.max_unmatched_ratio:
             raise RuntimeError(
@@ -363,8 +374,13 @@ class AssignSentenceSplit(BaseEnhancer):
             )
             verdicts = self._assignments(merged)
             has_sentence = ~(events.sentence.isnull() | (events.sentence == ""))
+            # a sentence text can miss a verdict: the final word of a
+            # timeline never opens a group (extraction quirk), so a
+            # trailing one-word sentence has no Sentence event.  Assign
+            # "undefined" instead of crashing (the reference KeyErrors here)
             events.loc[has_sentence, "split"] = [
-                verdicts[str(s)] for s in events.loc[has_sentence].sentence
+                verdicts.get(str(s), "undefined")
+                for s in events.loc[has_sentence].sentence
             ]
             events.loc[~has_sentence & word_rows, "split"] = "undefined"
         if synthetic_timeline and tuple(events.timeline.unique()) == ("#foo#",):

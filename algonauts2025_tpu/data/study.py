@@ -206,7 +206,9 @@ class StudyLoader(pydantic.BaseModel):
             return store[tl.timeline]
         frame = tl.load()
         frame.subject = f"{self.study}/{tl.subject}"
-        if store is not None:
+        # cache_all_timelines=False keeps only the final enhanced frame on
+        # disk (saves space when raw per-timeline loads are cheap)
+        if store is not None and self.cache_all_timelines:
             store[tl.timeline] = frame
         return frame
 

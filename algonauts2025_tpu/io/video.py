@@ -71,6 +71,7 @@ class VideoClip:
         self.duration = duration
         self._cap = None
         self._next_frame_idx = 0  # absolute frame index the capture will read next
+        self._last_frame: np.ndarray | None = None  # EOF clamp (moviepy parity)
 
     def _ensure_cap(self):
         if self._cap is None:
@@ -103,11 +104,17 @@ class VideoClip:
             self._next_frame_idx = idx
         ok, frame = cap.read()
         if not ok:
-            # past EOF: return last decodable frame (black as last resort)
+            # past EOF (the last 2 Hz window always lands one index past
+            # the final frame): hold the last decoded frame, as moviepy's
+            # clamping does in the reference; black only if nothing decoded
+            if self._last_frame is not None:
+                return self._last_frame
             h, w = self.size[1], self.size[0]
             return np.zeros((h, w, 3), dtype=np.uint8)
         self._next_frame_idx = idx + 1
-        return frame[:, :, ::-1]  # BGR -> RGB
+        rgb = frame[:, :, ::-1]  # BGR -> RGB
+        self._last_frame = rgb
+        return rgb
 
     def get_frame(self, t: float) -> np.ndarray:
         """Frame at clip-relative time t (seconds)."""

@@ -38,15 +38,22 @@ def init_distributed() -> None:
     No-op in single-process runs.  Uses the standard env contract
     (coordinator address + process count) that TPU pod launchers provide.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return  # single-process run
+    # NOTE: nothing may touch the XLA backend before initialize() — even
+    # jax.process_count() would initialize it and make this call fail
+    try:
         jax.distributed.initialize()
-        logger.info(
-            "jax.distributed initialized: process %d/%d",
-            jax.process_index(),
-            jax.process_count(),
-        )
+    except RuntimeError as e:
+        if "already" in str(e):
+            logger.info("jax.distributed already initialized")
+            return
+        raise
+    logger.info(
+        "jax.distributed initialized: process %d/%d",
+        jax.process_index(),
+        jax.process_count(),
+    )
 
 
 def get_mesh(

@@ -370,14 +370,16 @@ class BrainTrainer:
             n += 1
         out: dict[str, float] = {}
         if n:
-            out[f"{split}/loss"] = float(np.mean([float(l) for l in losses]))
+            # single D2H transfer (a float() per batch is a round trip each
+            # on remotely-attached chips)
+            out[f"{split}/loss"] = float(jnp.mean(jnp.stack(losses)))
         for name, metric in self.metrics.items():
             if not name.startswith(split):
                 continue
             try:
                 value = metric.compute()
-            except AssertionError:
-                continue
+            except (AssertionError, ValueError):
+                continue  # metric never updated (empty split)
             if isinstance(value, dict):
                 for k, v in value.items():
                     out[f"{name}/{k}"] = v

@@ -215,3 +215,61 @@ def test_fmri_zscore_sample():
     # constant rows stay finite
     const = np.ones((2, 10), np.float32)
     assert np.isfinite(zscore_sample(const)).all()
+
+
+def test_assign_split_trailing_single_word_sentence():
+    """A transcript ending in a one-word sentence must not crash the split
+    assignment (the extraction quirk gives it no Sentence event)."""
+    import numpy as np
+
+    from algonauts2025_tpu.data.enhancers import AssignSentenceSplit
+
+    rows = []
+    t = 0.0
+    for sent in ("Hello world. ", "Hello world. ", "Bye. "):
+        char = 0
+        for w in sent.strip().rstrip(".").split():
+            rows.append(dict(type="Word", text=w, start=round(t, 2), duration=0.2,
+                             timeline="tl", sentence=sent, sentence_char=float(char),
+                             language="english"))
+            char += len(w) + 1
+            t += 0.4
+    frame = pd.DataFrame(rows)
+    out = AssignSentenceSplit(ratios=(0.7, 0.2, 0.1), seed=1)(frame)
+    assert out.loc[out.text == "Bye", "split"].tolist() == ["undefined"]
+    assert set(out.split) <= {"train", "val", "test", "undefined"}
+
+
+def test_assign_split_no_words_is_noop():
+    from algonauts2025_tpu.data.enhancers import AssignSentenceSplit
+
+    frame = pd.DataFrame([dict(type="Video", start=0.0, duration=5.0,
+                               timeline="tl", filepath="x", sentence="")])
+    out = AssignSentenceSplit()(frame.copy())
+    assert len(out) == 1
+
+
+def test_sentences_not_duplicated_across_contexts(tmp_path):
+    """Two Text contexts on one timeline: earlier contexts' sentences must
+    appear once (the reference re-harvests them per context)."""
+    import numpy as np
+
+    from algonauts2025_tpu.data.enhancers import AddSentenceToWords
+
+    rows = []
+    t = 0.0
+    for ctx_text in ("Hello world.", "Good bye now."):
+        words = ctx_text.rstrip(".").split()
+        start = t
+        for w in words:
+            rows.append(dict(type="Word", text=w, start=round(t, 2), duration=0.2,
+                             timeline="tl", language="english"))
+            t += 0.4
+        rows.append(dict(type="Text", text=ctx_text, start=start - 0.01,
+                         duration=t - start + 0.02, timeline="tl",
+                         language="english"))
+        t += 1.0
+    out = AddSentenceToWords(max_unmatched_ratio=0.9)(pd.DataFrame(rows))
+    sentences = out[out.type == "Sentence"]
+    texts = sentences.text.tolist()
+    assert len(texts) == len(set(texts)), texts  # no duplicates

@@ -159,3 +159,61 @@ def test_cached_map_threadpool(tmp_path):
     out2 = cm([5, 1, 5])
     assert [int(o[0]) for o in out2] == [5, 1, 5]
     assert len(seen_batches) == 3
+
+
+def test_config_uid_handles_inf_and_canonicalizes_floats():
+    import pydantic
+
+    from algonauts2025_tpu.config.uid import config_uid
+
+    class C(pydantic.BaseModel):
+        x: float = 1.0
+
+    assert config_uid(C(x=float("inf"))) != config_uid(C(x=float("nan")))
+    assert config_uid(C(x=2.0)) == config_uid(C(x=2.0))
+    # integral float == int: the same config value hashes the same
+    class D(pydantic.BaseModel):
+        x: int = 1
+
+    assert config_uid(C(x=2.0)).split("-")[-1] != config_uid(C(x=2.5)).split("-")[-1]
+
+
+def test_study_loader_uid_with_chunk_events_inf():
+    """ChunkEvents' default max_duration=inf must not crash the study uid."""
+    from algonauts2025_tpu.config.uid import config_uid
+    from algonauts2025_tpu.data.study import StudyLoader
+
+    loader = StudyLoader(
+        path="/tmp/x",
+        enhancers=[{"name": "ChunkEvents", "event_type_to_chunk": "Sound"}],
+    )
+    assert config_uid(loader)
+
+
+def test_prefetch_abandoned_generator_unblocks_producer(tmp_path):
+    import threading
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from algonauts2025_tpu.data.dataset import SegmentData, prefetch_to_device
+
+    produced = []
+
+    def gen():
+        for i in range(50):
+            produced.append(i)
+            yield SegmentData(
+                data={"x": np.full((1, 2), float(i), np.float32)}, segments=[None]
+            )
+
+    before = threading.active_count()
+    it = prefetch_to_device(gen(), size=2)
+    first = next(it)
+    assert float(np.asarray(first.data["x"])[0, 0]) == 0.0
+    it.close()  # abandon mid-stream (limit_train_batches semantics)
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before  # producer thread exited
+    assert len(produced) < 50  # and did not run the whole epoch
