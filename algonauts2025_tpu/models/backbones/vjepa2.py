@@ -42,6 +42,9 @@ class VJEPA2Config:
     #: w8a8 int8 matmuls for qkv/proj/mlp (2x MXU rate on v5e); opt-in —
     #: quantized features live in their own cache universe (ops/quant.py)
     quantize: bool = False
+    #: with quantize: use calibrated static activation scales instead of
+    #: dynamic per-row maxima (requires calibrate_quant_scales first)
+    quant_static: bool = False
 
 
 def _int8_init(key, shape, dtype=jnp.int8):
@@ -49,10 +52,19 @@ def _int8_init(key, shape, dtype=jnp.int8):
 
 
 class _QDense(nn.Module):
-    """Dense over pre-quantized int8 weights + per-column scales."""
+    """Dense over pre-quantized int8 weights + per-column scales.
+
+    ``static_scale=True`` uses the calibrated per-matmul activation scale
+    ``a_scale`` (set by ``calibrate_quant_scales``) instead of dynamic
+    per-row maxima — removing the memory-bound max pass recovers most of
+    the int8 MXU rate (scripts/bench_int8.py).  Every call sows the input
+    absmax into the ``quant_stats`` collection when it is mutable, which
+    is how calibration observes activations.
+    """
 
     features: int
     use_bias: bool = True
+    static_scale: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -62,7 +74,20 @@ class _QDense(nn.Module):
         scale = self.param(
             "scale", nn.initializers.constant(0.01), (self.features,), jnp.float32
         )
-        y = int8_matmul(x, kernel_q, scale)
+        a_scale = self.param(
+            "a_scale", nn.initializers.zeros, (), jnp.float32
+        )
+        if self.is_mutable_collection("quant_stats"):
+            self.sow(
+                "quant_stats",
+                "absmax",
+                jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+        y = int8_matmul(
+            x, kernel_q, scale, x_scale=a_scale if self.static_scale else None
+        )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
@@ -75,7 +100,9 @@ def _dense_factory(cfg: "VJEPA2Config"):
     def dense(name: str, features: int | None = None, bias: bool = True):
         features = cfg.hidden_size if features is None else features
         if cfg.quantize:
-            return _QDense(features, use_bias=bias, name=name)
+            return _QDense(
+                features, use_bias=bias, static_scale=cfg.quant_static, name=name
+            )
         return nn.Dense(
             features, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.dtype, name=name
         )
@@ -246,7 +273,7 @@ class VJEPA2Backbone(nn.Module):
         rope = (jnp.asarray(cos_np), jnp.asarray(sin_np))
         ScannedBlock = nn.scan(
             VJEPA2Block,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "quant_stats": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,
             length=cfg.num_layers,

@@ -101,7 +101,9 @@ def pl_ds(start, size):
     return pl.ds(start, size)
 
 
-def _fast_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, sum_lane: int):
+def _fast_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, kv_block: int, sum_lane: int, score_dtype
+):
     """Non-causal, unmasked fast path.
 
     Two VPU passes removed vs the general kernel: the softmax scale is
@@ -109,6 +111,12 @@ def _fast_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, sum_lane: int):
     through a ones-column planted in v's zero padding (lane ``sum_lane``) —
     numerically this matches summing the bf16-cast p, the same values the
     PV matmul consumes, so numerator and denominator stay consistent.
+
+    ``score_dtype=bfloat16`` stores the score block s in bf16 (MXU still
+    accumulates fp32 internally); the kernel is VMEM-bandwidth-bound on s
+    (BENCH_NOTES.md), so halving its footprint buys real time.  The cast
+    adds ~2^-8 relative error to logits that already carry bf16 q/k input
+    error of the same order; max/exp math stays fp32 in registers.
     """
     q = q_ref[0]
     qb, dp = q.shape
@@ -121,8 +129,12 @@ def _fast_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, sum_lane: int):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        # Mosaic requires fp32 matmul accumulators; the bf16 variant stores
+        # the score block through a cast instead (halved VMEM footprint if
+        # the compiler folds it into the result stream)
+        s = s.astype(score_dtype)
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True).astype(jnp.float32))
+        p = jnp.exp(s.astype(jnp.float32) - m_new)
         alpha = jnp.exp(m - m_new)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -137,7 +149,9 @@ def _fast_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_block: int, sum_lane: int):
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _fast_flash(q, k, v, q_block: int, kv_block: int, interpret: bool):
+def _fast_flash(
+    q, k, v, q_block: int, kv_block: int, interpret: bool, score_dtype=jnp.float32
+):
     """Plain (non-causal, unmasked) flash attention with folded scale and
     MXU-side row sums; head dim padded to the 128-lane tile."""
     from jax.experimental import pallas as pl
@@ -159,7 +173,9 @@ def _fast_flash(q, k, v, q_block: int, kv_block: int, interpret: bool):
     )
     kv_spec = pl.BlockSpec((1, t, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fast_kernel, kv_block=kv_block, sum_lane=d),
+        functools.partial(
+            _fast_kernel, kv_block=kv_block, sum_lane=d, score_dtype=score_dtype
+        ),
         out_shape=jax.ShapeDtypeStruct((b * h, t, dp), q.dtype),
         grid=(b * h, t // q_block),
         in_specs=[q_spec, kv_spec, kv_spec],
@@ -174,8 +190,122 @@ def _fast_flash(q, k, v, q_block: int, kv_block: int, interpret: bool):
     return out.reshape(b, h, t, dp)[..., :d]
 
 
+def _bounded_kernel(
+    kmax_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    *,
+    kv_block: int,
+    sum_lane: int,
+    score_dtype=jnp.float32,
+):
+    """Shifted-softmax fast path: exp(s - C) with C an a-priori upper bound.
+
+    softmax is shift-invariant, so any per-row constant C_i >= max_j s_ij
+    yields the exact same output as the max-shifted form; Cauchy-Schwarz
+    gives one for free: s_ij = q_i . k_j <= |q_i| * max_j |k_j|.  Using it
+    instead of the online running max removes a full read pass over the
+    score block (the binding VMEM-bandwidth resource, BENCH_NOTES.md) and
+    the serial acc-rescale dependency between kv iterations.
+
+    exp(s - C) <= ~1 by construction, so no overflow; underflow would need
+    the bound to overshoot the true max by ~85 nats, i.e. |q||k| >> q.k
+    uniformly over all 8192 keys — not reachable with LN'd activations
+    (measured gap < 15 at ViT-G shapes).  If it ever did, l collapses to 0
+    and the row comes out as zeros (visible), never NaN.
+    """
+    q = q_ref[0]
+    qb, dp = q.shape
+    t = k_ref.shape[1]
+    # per-row shift: |q_i| * max_j |k_j| (scale is already folded into q);
+    # the per-head key-norm max rides in via scalar prefetch — computing it
+    # here would re-stream K once per q-block program
+    kmax = kmax_ref[pl_program_id(0)]
+    qf = q.astype(jnp.float32)
+    c = jnp.sqrt((qf * qf).sum(axis=-1, keepdims=True)) * kmax  # (qb, 1)
+
+    def body(i, acc):
+        k = k_ref[0, pl_ds(i * kv_block, kv_block), :]
+        v = v_ref[0, pl_ds(i * kv_block, kv_block), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s.astype(score_dtype)
+        p = jnp.exp(s.astype(jnp.float32) - c)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc + pv
+
+    acc = jax.lax.fori_loop(
+        0, t // kv_block, body, jnp.zeros((qb, dp), jnp.float32)
+    )
+    l = acc[:, sum_lane : sum_lane + 1]
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _bounded_flash(
+    q, k, v, q_block: int, kv_block: int, interpret: bool, score_dtype=jnp.float32
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, t, d = q.shape
+    dp = _round_up(d + 1, 128)
+    scale = jnp.asarray(d**-0.5, jnp.float32)
+    pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
+    qp = jnp.pad((q.astype(jnp.float32) * scale).astype(q.dtype), pad)
+    qp = qp.reshape(b * h, t, dp)
+    kp = jnp.pad(k, pad).reshape(b * h, t, dp)
+    ones = jnp.ones(v.shape[:-1] + (1,), v.dtype)
+    vp = jnp.pad(
+        jnp.concatenate([v, ones], axis=-1), [(0, 0), (0, 0), (0, 0), (0, dp - d - 1)]
+    )
+    vp = vp.reshape(b * h, t, dp)
+    # per-(b,h) key-norm max, one HLO pass over K (cheap vs the kernel)
+    kf = kp.astype(jnp.float32)
+    kmax = jnp.sqrt((kf * kf).sum(axis=-1).max(axis=-1))  # (b*h,)
+    q_spec = pl.BlockSpec(
+        (1, q_block, dp), lambda i, j, _km: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, t, dp), lambda i, j, _km: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # kmax rides in SMEM
+        grid=(b * h, t // q_block),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+    )
+    # score block (q_block x kv_block fp32) + K/V/q/out + headroom; the
+    # default scoped-vmem limit (16 MB) rejects kv_block >= 8192
+    vmem_bytes = min(
+        100 * 1024 * 1024,
+        q_block * kv_block * 4 * 2 + 4 * t * dp * 4 + 8 * 1024 * 1024,
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _bounded_kernel, kv_block=kv_block, sum_lane=d, score_dtype=score_dtype
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, dp), q.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t * t * dp,
+            bytes_accessed=4 * b * h * t * dp * 2,
+            transcendentals=b * h * t * t,
+        ),
+    )(kmax, qp, kp, vp)
+    return out.reshape(b, h, t, dp)[..., :d]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("q_block", "kv_block", "causal", "interpret")
+    jax.jit,
+    static_argnames=("q_block", "kv_block", "causal", "interpret"),
 )
 def flash_attention(
     q: jax.Array,
@@ -204,19 +334,22 @@ def flash_attention(
             f"({q_block}/{kv_block}); pick block sizes dividing T"
         )
     if not causal and lengths is None and d % 128:
-        # fast path: fold scale into q, row sums ride the PV matmul through
-        # a ones-lane in the head-dim padding (hence d % 128 != 0: a full
-        # head dim would force an extra 128-lane tile).  A larger kv block
-        # amortizes loop bookkeeping while s fits scoped VMEM (~4 MB) and
-        # still divides T.
+        # fast path (frozen-backbone inference): shifted-softmax bounded
+        # kernel, scale folded into q, row sums riding the PV matmul
+        # through a ones-lane in the head-dim padding (hence d % 128 != 0:
+        # a full head dim would force an extra 128-lane tile).  Big blocks
+        # measure fastest — the kernel is VMEM-bandwidth-bound on the
+        # score block, and fewer iterations amortize fixed overhead
+        # (21.5 vs 23.1 ms at ViT-G shapes, scripts/bench_attn.py).
+        qb = 1024 if t % 1024 == 0 and t >= 1024 else q_block
         kvb = kv_block
         while (
             kvb * 2 <= t
             and t % (kvb * 2) == 0
-            and q_block * kvb * 2 * 4 <= 4 * 1024 * 1024
+            and qb * kvb * 2 * 4 <= 32 * 1024 * 1024
         ):
             kvb *= 2
-        return _fast_flash(q, k, v, q_block, kvb, interpret)
+        return _bounded_flash(q, k, v, qb, kvb, interpret)
     pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
     qp = jnp.pad(q, pad).reshape(b * h, t, dp)
     kp = jnp.pad(k, pad).reshape(b * h, t, dp)

@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["quantize_weight", "int8_matmul", "QuantDense"]
+__all__ = [
+    "quantize_weight",
+    "int8_matmul",
+    "QuantDense",
+    "calibrate_quant_scales",
+]
 
 
 def quantize_weight(w: np.ndarray | jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -28,15 +33,28 @@ def quantize_weight(w: np.ndarray | jax.Array) -> tuple[jax.Array, jax.Array]:
     return w_q, scale
 
 
-def int8_matmul(x: jax.Array, w_q: jax.Array, w_scale: jax.Array) -> jax.Array:
-    """x (..., K) float @ int8 (K, N) with dynamic per-row activation scales.
+def int8_matmul(
+    x: jax.Array,
+    w_q: jax.Array,
+    w_scale: jax.Array,
+    x_scale: jax.Array | None = None,
+) -> jax.Array:
+    """x (..., K) float @ int8 (K, N); accumulates int32 on the MXU.
 
-    Accumulates in int32 on the MXU; output fp32 = int32 * (sx * sw).
+    ``x_scale=None``: dynamic per-row activation scales (an extra
+    memory-bound max pass over x — measured to eat most of the int8 MXU
+    gain at ViT-G shapes).  ``x_scale`` scalar: static, calibrated offline
+    for frozen backbones; the quantize cast fuses into the producer and
+    the matmul chain runs at 1.44x the bf16 rate (scripts/bench_int8.py:
+    191 vs 133 TF/s equivalent).
     """
     lead = x.shape[:-1]
     xf = x.astype(jnp.float32).reshape(-1, x.shape[-1])
-    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
-    sx = jnp.maximum(sx, 1e-12)
+    if x_scale is None:
+        sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        sx = jnp.maximum(sx, 1e-12)
+    else:
+        sx = jnp.maximum(jnp.asarray(x_scale, jnp.float32), 1e-12)
     x_q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -88,9 +106,47 @@ def quantize_dense_params(dense_params: dict) -> dict:
     kernel = jnp.asarray(dense_params["kernel"], jnp.float32)
     if kernel.ndim == 3:  # (L, K, N): quantize each layer independently
         w_q, scale = jax.vmap(quantize_weight)(kernel)
+        a_scale = jnp.zeros((kernel.shape[0],), jnp.float32)
     else:
         w_q, scale = quantize_weight(kernel)
-    out = {"kernel_q": w_q, "scale": scale}
+        a_scale = jnp.zeros((), jnp.float32)
+    # 0 = uncalibrated; static-scale mode requires calibrate_quant_scales
+    out = {"kernel_q": w_q, "scale": scale, "a_scale": a_scale}
     if "bias" in dense_params:
         out["bias"] = jnp.asarray(dense_params["bias"], jnp.float32)
     return out
+
+
+def calibrate_quant_scales(apply_fn, params: dict, *inputs, margin: float = 1.0) -> dict:
+    """Set static activation scales from one observed forward pass.
+
+    Runs ``apply_fn({"params": params}, *inputs, mutable=["quant_stats"])``
+    — every ``_QDense`` sows its input absmax into ``quant_stats`` (max-
+    reduced over calls; stacked (L,) under nn.scan) — then returns params
+    with each ``a_scale`` set to ``absmax * margin / 127``.  Frozen
+    backbones have stationary activation statistics, so one representative
+    batch suffices; pass ``margin > 1`` for clip headroom on unseen data.
+    """
+    _, mutated = apply_fn({"params": params}, *inputs, mutable=["quant_stats"])
+    stats = mutated.get("quant_stats", {})
+
+    def walk(p_node, s_node):
+        out = {}
+        for key, val in p_node.items():
+            if isinstance(val, dict):
+                out[key] = walk(val, s_node.get(key, {}) if isinstance(s_node, dict) else {})
+            elif key == "a_scale":
+                absmax = s_node.get("absmax") if isinstance(s_node, dict) else None
+                if absmax is None:
+                    out[key] = val
+                else:
+                    if isinstance(absmax, (tuple, list)):
+                        absmax = absmax[0]
+                    out[key] = jnp.maximum(
+                        jnp.asarray(absmax, jnp.float32) * margin / 127.0, 1e-12
+                    )
+            else:
+                out[key] = val
+        return out
+
+    return walk(params, stats)

@@ -73,3 +73,41 @@ def test_feature_config_quantize_is_cache_relevant():
     # window_batch, by contrast, never changes values
     c = VJEPA2(model_name="tiny-random", window_batch=8)
     assert config_uid(a) == config_uid(c)
+
+
+def test_static_scale_calibration_matches_dynamic():
+    """Calibrated static activation scales track the dynamic-quant output."""
+    from algonauts2025_tpu.models.backbones.vjepa2 import (
+        VJEPA2Backbone,
+        VJEPA2Config,
+    )
+    from algonauts2025_tpu.ops.quant import calibrate_quant_scales
+    import dataclasses
+
+    cfg = VJEPA2Config(
+        crop_size=32, patch_size=16, tubelet_size=2, frames_per_clip=4,
+        hidden_size=64, num_layers=2, num_heads=4, mlp_ratio=2.0,
+        dtype=jnp.float32, quantize=True,
+    )
+    dyn_model = VJEPA2Backbone(cfg, token_pool=True)
+    pixels = jax.random.uniform(jax.random.PRNGKey(1), (2, 4, 32, 32, 3))
+    params = dyn_model.init(jax.random.PRNGKey(0), pixels)["params"]
+    dyn = np.asarray(dyn_model.apply({"params": params}, pixels))
+
+    # calibrate on the dynamic model (static with a_scale=0 would corrupt
+    # deeper-layer statistics), then run the static model
+    cparams = calibrate_quant_scales(dyn_model.apply, params, pixels, margin=1.0)
+    a_scales = cparams["layers"]["attn"]["query"]["a_scale"]
+    assert a_scales.shape == (2,) and np.all(np.asarray(a_scales) > 0)
+
+    scfg = dataclasses.replace(cfg, quant_static=True)
+    static_model = VJEPA2Backbone(scfg, token_pool=True)
+    static = np.asarray(static_model.apply({"params": cparams}, pixels))
+
+    assert static.shape == dyn.shape
+    a = dyn.reshape(-1, dyn.shape[-1])
+    b = static.reshape(-1, static.shape[-1])
+    cos = np.sum(a * b, -1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+    )
+    assert cos.min() > 0.98, cos.min()
