@@ -114,6 +114,7 @@ class TinyVideoBackbone(JaxVideoBackbone):
         crop_size: int = 32,
         seed: int = 0,
         quantize: bool = False,
+        quant_static: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -138,10 +139,43 @@ class TinyVideoBackbone(JaxVideoBackbone):
                 k, jnp.zeros((1, n_frames, crop_size, crop_size, 3))
             )["params"]
         )(jax.random.PRNGKey(seed))
+        if quantize and quant_static:
+            model, params = _calibrated_static_model(
+                cfg, model, params, n_frames, crop_size
+            )
         super().__init__(model, params, n_frames=n_frames, crop_size=crop_size)
 
 
-def load_hf_video_backbone(model_name: str, quantize: bool = False) -> JaxVideoBackbone:
+def _calibrated_static_model(cfg, dyn_model, params, n_frames: int, crop_size: int):
+    """Calibrate activation scales on a fixed seeded input, then return the
+    static-scale model over the calibrated params.
+
+    Calibration runs the *dynamic*-scale model (static with a_scale=0
+    would corrupt deeper-layer statistics).  The input is deterministic
+    (seeded standard-normal "normalized pixels"), so feature values never
+    depend on data order; margin 1.5 leaves clip headroom for real frames.
+    """
+    import dataclasses
+
+    import jax
+
+    from ..models.backbones.vjepa2 import VJEPA2Backbone
+    from ..ops.quant import calibrate_quant_scales
+
+    sample = jax.random.normal(
+        jax.random.PRNGKey(7), (1, n_frames, crop_size, crop_size, 3)
+    )
+    params = calibrate_quant_scales(dyn_model.apply, params, sample, margin=1.5)
+    static_model = VJEPA2Backbone(
+        dataclasses.replace(cfg, quant_static=True),
+        token_pool=dyn_model.token_pool,
+    )
+    return static_model, params
+
+
+def load_hf_video_backbone(
+    model_name: str, quantize: bool = False, quant_static: bool = False
+) -> JaxVideoBackbone:
     import jax.numpy as jnp
     from transformers import AutoModel
 
@@ -166,8 +200,13 @@ def load_hf_video_backbone(model_name: str, quantize: bool = False) -> JaxVideoB
         quantize=quantize,
     )
     params = params_from_hf(hf_model.state_dict(), cfg)
+    model = VJEPA2Backbone(cfg, token_pool=True)
+    if quantize and quant_static:
+        model, params = _calibrated_static_model(
+            cfg, model, params, c.frames_per_clip, c.crop_size
+        )
     return JaxVideoBackbone(
-        VJEPA2Backbone(cfg, token_pool=True),
+        model,
         params,
         n_frames=c.frames_per_clip,
         crop_size=c.crop_size,
@@ -182,6 +221,12 @@ class VJEPA2(LayeredFeatureBase):
     #: it is part of the cache identity and OFF until it passes the
     #: ACCURACY.md gate on real data
     quantize: bool = False
+    #: with quantize: calibrated static activation scales instead of dynamic
+    #: per-row maxima (1.44x bf16 on isolated non-attention matmuls, but
+    #: measured NEUTRAL end-to-end at ViT-G — the quant/dequant passes around
+    #: each matmul do not fuse away; see BENCH_NOTES.md); calibration runs
+    #: once on a fixed seeded input, so values stay deterministic
+    quant_static: bool = False
 
     event_type: tp.ClassVar[str] = "Video"
     frequency: tp.ClassVar[float] = OUTPUT_HZ
@@ -202,11 +247,15 @@ class VJEPA2(LayeredFeatureBase):
     def backbone(self) -> VideoBackbone:
         if self._backbone is None:
             if self.model_name == "tiny-random":
-                self._backbone = TinyVideoBackbone(quantize=self.quantize)
+                self._backbone = TinyVideoBackbone(
+                    quantize=self.quantize, quant_static=self.quant_static
+                )
             else:
                 try:
                     self._backbone = load_hf_video_backbone(
-                        self.model_name, quantize=self.quantize
+                        self.model_name,
+                        quantize=self.quantize,
+                        quant_static=self.quant_static,
                     )
                 except Exception as e:
                     logger.warning(

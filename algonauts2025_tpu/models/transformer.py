@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import pydantic
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ..ops.attention import apply_rotary, fused_attention, rotary_angles
 
 
@@ -114,6 +116,9 @@ class EncoderBlock(nn.Module):
             dropout=self.attn_dropout,
             name="attn",
         )(norm_cls(name="attn_norm")(x), deterministic, mask)
+        # tagged for selective rematerialization policies (ignored by the
+        # default full-remat path; flagship HBM cannot afford saving it)
+        branch = checkpoint_name(branch, "attn_out")
         x = x * res_a + branch
         res_f = (
             self.param("res_scale_ff", lambda _k: jnp.ones(()))
@@ -206,6 +211,9 @@ class _BlockWrapper(nn.Module):
             mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
         block_cls = EncoderBlock
         if self.remat:
+            # full remat: selective save_only_these_names("attn_out") was
+            # measured to OOM at flagship shapes (params+opt state leave
+            # <464 MB of headroom; the policy needs 58 MB x 8 layers more)
             block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
         x = block_cls(
             dim=self.dim,

@@ -212,9 +212,10 @@ def _bounded_kernel(
 
     exp(s - C) <= ~1 by construction, so no overflow; underflow would need
     the bound to overshoot the true max by ~85 nats, i.e. |q||k| >> q.k
-    uniformly over all 8192 keys — not reachable with LN'd activations
-    (measured gap < 15 at ViT-G shapes).  If it ever did, l collapses to 0
-    and the row comes out as zeros (visible), never NaN.
+    uniformly over ALL keys at huge norms — a pathological correlation/
+    norm structure (measured gap on standard-normal q/k at backbone
+    shapes: 4-11 nats).  If it ever happened, l collapses to 0 and the
+    row comes out as zeros (visible downstream), never NaN.
     """
     q = q_ref[0]
     qb, dp = q.shape

@@ -127,7 +127,9 @@ def calibrate_quant_scales(apply_fn, params: dict, *inputs, margin: float = 1.0)
     backbones have stationary activation statistics, so one representative
     batch suffices; pass ``margin > 1`` for clip headroom on unseen data.
     """
-    _, mutated = apply_fn({"params": params}, *inputs, mutable=["quant_stats"])
+    mutated = jax.jit(
+        lambda p, *xs: apply_fn({"params": p}, *xs, mutable=["quant_stats"])[1]
+    )(params, *inputs)
     stats = mutated.get("quant_stats", {})
 
     def walk(p_node, s_node):

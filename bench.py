@@ -129,14 +129,33 @@ def bench_video(video_path: Path) -> float:
     from algonauts2025_tpu.io.video import VideoClip
     from algonauts2025_tpu.models.backbones.vjepa2 import VJEPA2_VITG, VJEPA2Backbone
 
-    model = VJEPA2Backbone(VJEPA2_VITG, token_pool=True)
-    crop = VJEPA2_VITG.crop_size
+    import dataclasses
+
+    # BENCH_QUANTIZE=1: opt-in w8a8 static-scale path (not the headline
+    # number — the default exact-bf16 path is what the JSON line reports)
+    quantize = os.environ.get("BENCH_QUANTIZE", "") == "1"
+    cfg = dataclasses.replace(VJEPA2_VITG, quantize=quantize, quant_static=quantize)
+    model = VJEPA2Backbone(cfg, token_pool=True)
+    crop = cfg.crop_size
     params = jax.jit(
         lambda k: model.init(
-            k, jnp.zeros((1, VJEPA2_VITG.frames_per_clip, crop, crop, 3))
+            k, jnp.zeros((1, cfg.frames_per_clip, crop, crop, 3))
         )["params"]
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    if quantize:
+        from algonauts2025_tpu.features.video import _calibrated_static_model
+
+        dyn_model = VJEPA2Backbone(
+            dataclasses.replace(cfg, quant_static=False), token_pool=True
+        )
+        model, params = _calibrated_static_model(
+            dataclasses.replace(cfg, quant_static=False),
+            dyn_model,
+            params,
+            cfg.frames_per_clip,
+            crop,
+        )
     backbone = JaxVideoBackbone(model, params, n_frames=64, crop_size=crop)
 
     wb = 4  # windows per device batch

@@ -111,3 +111,21 @@ def test_static_scale_calibration_matches_dynamic():
         np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
     )
     assert cos.min() > 0.98, cos.min()
+
+
+def test_video_feature_static_quant_end_to_end(tmp_path):
+    """The VJEPA2 feature computes finite features with static int8 scales,
+    and quant_static is part of the cache identity."""
+    from algonauts2025_tpu.config.uid import config_uid
+    from algonauts2025_tpu.features.video import TinyVideoBackbone, VJEPA2
+
+    feat_dyn = VJEPA2(model_name="tiny-random", quantize=True)
+    feat_static = VJEPA2(model_name="tiny-random", quantize=True, quant_static=True)
+    assert config_uid(feat_dyn) != config_uid(feat_static)
+
+    bb = TinyVideoBackbone(quantize=True, quant_static=True)
+    import jax
+
+    pixels = jax.random.uniform(jax.random.PRNGKey(3), (1, 8, 32, 32, 3))
+    out = np.asarray(bb.encode_windows(pixels))
+    assert np.isfinite(out).all()
