@@ -106,21 +106,24 @@ class JaxAudioBackbone(AudioBackbone):
         out = self._fn(self.params, wav_16k)  # (L+1, 1, T50, D)
         return np.asarray(out)[:, 0]
 
-    def hidden_states_2hz(self, wav_16k: np.ndarray, n_out: int) -> np.ndarray:
-        """(L+1, D, n_out) hidden stack resampled to the output grid."""
+    def hidden_states_2hz(self, wav_16k, n_out: int) -> np.ndarray:
+        """(L+1, D, n_out) hidden stack resampled to the output grid.
+        Accepts a NumPy or device array."""
         return np.asarray(self._fn_2hz(self.params, wav_16k, n_out=n_out))
 
     def hidden_states_2hz_bucketed(
-        self, wav_16k: np.ndarray, n_out: int, bucket_samples: int
+        self, wav_16k, n_out: int, bucket_samples: int
     ) -> np.ndarray:
         """Bucketed variant: the wav is zero-padded to ``bucket_samples`` so
         arbitrary chunk durations hit a bounded set of compiled shapes; mel
-        normalization and conformer attention mask out the padding."""
+        normalization and conformer attention mask out the padding.
+        Accepts a NumPy or device array (the pad happens in-graph)."""
+        import jax.numpy as jnp
+
         n = len(wav_16k)
         if bucket_samples < n:
             raise ValueError(f"bucket {bucket_samples} smaller than wav {n}")
-        padded = np.zeros(bucket_samples, wav_16k.dtype)
-        padded[:n] = wav_16k
+        padded = jnp.pad(jnp.asarray(wav_16k), (0, bucket_samples - n))
         n_out_max = max(n_out, int(bucket_samples / TARGET_SR * OUTPUT_HZ))
         self.bucket_shapes.add((bucket_samples, n_out_max))
         out = self._fn_bucketed(
@@ -273,7 +276,9 @@ class Wav2VecBert(LayeredFeatureBase):
         for event in events:
             wav, sfreq = self._read_mono_zscore(event)
             if int(sfreq) != TARGET_SR:
-                wav = np.asarray(resample_poly(jnp.asarray(wav), int(sfreq), TARGET_SR))
+                # stays on device: the backbone consumes it directly, so the
+                # resampled wav never makes the (slow) D2H->H2D round trip
+                wav = resample_poly(jnp.asarray(wav), int(sfreq), TARGET_SR)
             timepoints = max(1, Frequency(OUTPUT_HZ).to_ind(event.duration))
             bucket = 0
             if self.bucket_seconds and hasattr(backbone, "hidden_states_2hz_bucketed"):

@@ -109,7 +109,7 @@ def bench_audio(wav_path: Path) -> float:
         wav = wavio.read(str(wav_path)).mean(axis=1)
         wav = (wav - wav.mean()) / (1e-8 + wav.std())
         wav16 = resample_poly(jnp.asarray(wav), info.samplerate, 16000)
-        backbone.hidden_states_2hz(np.asarray(wav16), int(2 * info.duration))
+        backbone.hidden_states_2hz(wav16, int(2 * info.duration))  # stays on device
 
     run()  # warmup/compile
     t0 = time.time()

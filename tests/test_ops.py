@@ -183,12 +183,22 @@ def test_flash_attention_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
 
 
-def test_skew_rel_bias(rng):
-    from algonauts2025_tpu.models.backbones.wav2vec_bert import _skew_rel_bias
+def test_rel_bias_onehot_matmul(rng):
+    """The banded one-hot matmul places each clamped diagonal exactly."""
+    from algonauts2025_tpu.models.backbones.wav2vec_bert import _rel_onehot
 
     t, left, right = 37, 8, 2
     qd = jnp.asarray(rng.standard_normal((2, 4, t, left + right + 1)).astype(np.float32))
-    out = np.asarray(_skew_rel_bias(qd, t, left, right))
+    rel_m = _rel_onehot(t, left, right)
+    out = np.asarray(
+        jnp.einsum(
+            "bhlp,lpr->bhlr",
+            qd,
+            rel_m,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
     qd_np = np.asarray(qd)
     for l in range(t):
         for r in range(t):
