@@ -117,7 +117,9 @@ class JaxAudioBackbone(AudioBackbone):
         """Bucketed variant: the wav is zero-padded to ``bucket_samples`` so
         arbitrary chunk durations hit a bounded set of compiled shapes; mel
         normalization and conformer attention mask out the padding.
-        Accepts a NumPy or device array (the pad happens in-graph)."""
+        Accepts a NumPy or device array; the pad is a single async-
+        dispatched device op, so a resampled wav never crosses back to
+        the host."""
         import jax.numpy as jnp
 
         n = len(wav_16k)

@@ -14,6 +14,7 @@ Weight conversion from the HF checkpoint via ``params_from_hf``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import typing as tp
 
 import flax.linen as nn
@@ -127,15 +128,20 @@ class RelKeyAttention(nn.Module):
         )  # (B, H, T, n_pos)
         if rel_m is None:
             rel_m = _rel_onehot(t, cfg.left_max_pos, cfg.right_max_pos)
-        # one nonzero fp32 product per output element + fp32 accumulation
-        # (precision=HIGHEST) => rel is exactly qd[l, clamp(r-l)+left]
-        rel = jnp.einsum(
-            "bhlp,lpr->bhlr",
-            qd,
-            rel_m,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        # M is a bf16 one-hot (half the resident footprint).  On TPU,
+        # splitting fp32 qd into hi + lo bf16 halves keeps the placement
+        # exact to ~2^-17 (one nonzero product per half, fp32 accumulation,
+        # hi + lo == qd) on native bf16 MXU passes.  Off-TPU, promote M:
+        # the CPU dot runtime cannot execute bf16 x bf16 -> f32.
+        dot = functools.partial(
+            jnp.einsum, "bhlp,lpr->bhlr", preferred_element_type=jnp.float32
         )
+        if jax.default_backend() == "tpu":
+            qd_hi = qd.astype(jnp.bfloat16)
+            qd_lo = (qd - qd_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            rel = dot(qd_hi, rel_m) + dot(qd_lo, rel_m)
+        else:
+            rel = dot(qd, rel_m.astype(jnp.float32))
         scores = scores + rel / hd**0.5
         if attn_bias is not None:
             scores = scores + attn_bias
@@ -162,7 +168,10 @@ def _rel_onehot(t: int, left: int, right: int) -> jax.Array:
     pi = jax.lax.broadcasted_iota(jnp.int32, (t, left + right + 1, t), 1)
     ri = jax.lax.broadcasted_iota(jnp.int32, (t, 1, t), 2)
     d = jnp.clip(ri - li, -left, right) + left
-    return (d == pi).astype(jnp.float32)
+    # bf16 halves the resident footprint (0/1 are exact in bf16); at the
+    # pipeline's 60 s chunk max (T=3000) fp32 M would pin 2.6 GB across
+    # the whole scan, bf16 1.3 GB
+    return (d == pi).astype(jnp.bfloat16)
 
 
 class ConformerLayer(nn.Module):

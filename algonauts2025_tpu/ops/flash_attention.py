@@ -149,6 +149,27 @@ def _fast_kernel(
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _prep_fast_inputs(q, k, v):
+    """Shared input prep for the unmasked fast kernels: softmax scale
+    folded into q, head dim zero-padded to the 128-lane tile with a
+    ones-column planted in v's padding at lane ``d`` (the MXU-side row
+    sum), heads flattened into the grid axis.  Returns (qp, kp, vp, dp).
+    """
+    b, h, t, d = q.shape
+    dp = _round_up(d + 1, 128)
+    scale = jnp.asarray(d**-0.5, jnp.float32)
+    pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
+    qp = jnp.pad((q.astype(jnp.float32) * scale).astype(q.dtype), pad)
+    qp = qp.reshape(b * h, t, dp)
+    kp = jnp.pad(k, pad).reshape(b * h, t, dp)
+    ones = jnp.ones(v.shape[:-1] + (1,), v.dtype)
+    vp = jnp.pad(
+        jnp.concatenate([v, ones], axis=-1), [(0, 0), (0, 0), (0, 0), (0, dp - d - 1)]
+    )
+    vp = vp.reshape(b * h, t, dp)
+    return qp, kp, vp, dp
+
+
 def _fast_flash(
     q, k, v, q_block: int, kv_block: int, interpret: bool, score_dtype=jnp.float32
 ):
@@ -158,15 +179,7 @@ def _fast_flash(
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, t, d = q.shape
-    dp = _round_up(d + 1, 128)
-    scale = jnp.asarray(d**-0.5, jnp.float32)
-    pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
-    qp = jnp.pad((q.astype(jnp.float32) * scale).astype(q.dtype), pad)
-    qp = qp.reshape(b * h, t, dp)
-    kp = jnp.pad(k, pad).reshape(b * h, t, dp)
-    ones = jnp.ones(v.shape[:-1] + (1,), v.dtype)
-    vp = jnp.pad(jnp.concatenate([v, ones], axis=-1), [(0, 0), (0, 0), (0, 0), (0, dp - d - 1)])
-    vp = vp.reshape(b * h, t, dp)
+    qp, kp, vp, dp = _prep_fast_inputs(q, k, v)
 
     q_spec = pl.BlockSpec(
         (1, q_block, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
@@ -210,22 +223,37 @@ def _bounded_kernel(
     score block (the binding VMEM-bandwidth resource, BENCH_NOTES.md) and
     the serial acc-rescale dependency between kv iterations.
 
-    exp(s - C) <= ~1 by construction, so no overflow; underflow would need
-    the bound to overshoot the true max by ~85 nats, i.e. |q||k| >> q.k
-    uniformly over ALL keys at huge norms — a pathological correlation/
-    norm structure (measured gap on standard-normal q/k at backbone
-    shapes: 4-11 nats).  If it ever happened, l collapses to 0 and the
-    row comes out as zeros (visible downstream), never NaN.
+    The raw Cauchy-Schwarz bound can overshoot the true max by an
+    arbitrary margin on pathological norm/correlation structure (e.g.
+    orthogonal large-norm q/k), which would underflow every exp and
+    silently zero rows.  The shift is therefore clamped per row to
+    ``lb_i + 55`` where lb_i = q_i . mean(first 512 keys) — the mean score
+    over any key subset lower-bounds the row max, so l >= exp(-55) by
+    construction and underflow is impossible.  lb costs one 512-row pass
+    over the VMEM-resident K plus an MXU matvec (~1% measured).
+    The clamp keeps the exact-softmax property (any shift does); the only
+    remaining theoretical failure is exp overflow at a >143-nat per-row
+    score spread, which surfaces loudly as inf/nan, never as silent
+    zeros.  (Measured shift gap on standard-normal q/k: 4-11 nats.)
     """
     q = q_ref[0]
     qb, dp = q.shape
     t = k_ref.shape[1]
-    # per-row shift: |q_i| * max_j |k_j| (scale is already folded into q);
-    # the per-head key-norm max rides in via scalar prefetch — computing it
-    # here would re-stream K once per q-block program
+    # per-row shift: min(|q_i| * max_j |k_j|, lb_i + 55); scale is already
+    # folded into q; the per-head key-norm max rides in via scalar
+    # prefetch (computing it here would re-stream K per q-block program)
     kmax = kmax_ref[pl_program_id(0)]
+    n_sub = min(t, 512)
+    k_sub_mean = k_ref[0, :n_sub, :].astype(jnp.float32).mean(axis=0)
+    lb = jax.lax.dot_general(
+        q.astype(jnp.float32),
+        k_sub_mean.reshape(dp, 1),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (qb, 1)
     qf = q.astype(jnp.float32)
-    c = jnp.sqrt((qf * qf).sum(axis=-1, keepdims=True)) * kmax  # (qb, 1)
+    qn = jnp.sqrt((qf * qf).sum(axis=-1, keepdims=True))  # (qb, 1)
+    c = jnp.minimum(qn * kmax, lb + 55.0)
 
     def body(i, acc):
         k = k_ref[0, pl_ds(i * kv_block, kv_block), :]
@@ -255,20 +283,11 @@ def _bounded_flash(
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, t, d = q.shape
-    dp = _round_up(d + 1, 128)
-    scale = jnp.asarray(d**-0.5, jnp.float32)
-    pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
-    qp = jnp.pad((q.astype(jnp.float32) * scale).astype(q.dtype), pad)
-    qp = qp.reshape(b * h, t, dp)
-    kp = jnp.pad(k, pad).reshape(b * h, t, dp)
-    ones = jnp.ones(v.shape[:-1] + (1,), v.dtype)
-    vp = jnp.pad(
-        jnp.concatenate([v, ones], axis=-1), [(0, 0), (0, 0), (0, 0), (0, dp - d - 1)]
-    )
-    vp = vp.reshape(b * h, t, dp)
+    qp, kp, vp, dp = _prep_fast_inputs(q, k, v)
     # per-(b,h) key-norm max, one HLO pass over K (cheap vs the kernel)
     kf = kp.astype(jnp.float32)
     kmax = jnp.sqrt((kf * kf).sum(axis=-1).max(axis=-1))  # (b*h,)
+
     q_spec = pl.BlockSpec(
         (1, q_block, dp), lambda i, j, _km: (i, j, 0), memory_space=pltpu.VMEM
     )

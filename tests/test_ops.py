@@ -293,3 +293,25 @@ def test_flash_attention_packed_matches_reference(rng):
     ref = dot_product_attention(q, k, v)
     out = flash_attention_packed(q, k, v, q_block=128, kv_block=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_flash_attention_pathological_norms_fallback(rng):
+    """Orthogonal large-norm q/k overshoot the raw Cauchy-Schwarz shift by
+    >87 nats, which would underflow every exp and silently zero the rows;
+    the lb+55 clamp on the shift must keep the output exact (uniform
+    average of V here, since all scores are ~0)."""
+    from algonauts2025_tpu.ops.flash_attention import flash_attention
+
+    t, d = 1024, 64
+    # q in the first 32 dims, k in the last 32: q.k == 0 while |q||k|/8 ~ 1e4
+    q = np.zeros((1, 1, t, d), np.float32)
+    k = np.zeros((1, 1, t, d), np.float32)
+    q[..., :32] = rng.standard_normal((1, 1, t, 32)) * 60.0
+    k[..., 32:] = rng.standard_normal((1, 1, t, 32)) * 60.0
+    q, k = jnp.asarray(q), jnp.asarray(k)
+    v = jnp.asarray(rng.standard_normal((1, 1, t, d)).astype(np.float32))
+    out = np.asarray(flash_attention(q, k, v, interpret=True))
+    # scores are all ~0 -> softmax is uniform -> output = mean of v
+    ref = np.asarray(v).mean(axis=2, keepdims=True)
+    assert np.abs(out).max() > 0, "fallback did not engage: all-zero output"
+    np.testing.assert_allclose(out, np.broadcast_to(ref, out.shape), atol=2e-2)

@@ -129,3 +129,14 @@ def test_video_feature_static_quant_end_to_end(tmp_path):
     pixels = jax.random.uniform(jax.random.PRNGKey(3), (1, 8, 32, 32, 3))
     out = np.asarray(bb.encode_windows(pixels))
     assert np.isfinite(out).all()
+    # and the calibration wiring must actually track the dynamic-quant
+    # output (a_scale=0 saturation would produce finite garbage here)
+    dyn = np.asarray(
+        TinyVideoBackbone(quantize=True, quant_static=False).encode_windows(pixels)
+    )
+    a = out.reshape(-1, out.shape[-1]).astype(np.float64)
+    b = dyn.reshape(-1, dyn.shape[-1]).astype(np.float64)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+    )
+    assert cos.min() > 0.98, cos.min()
