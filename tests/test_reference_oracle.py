@@ -266,3 +266,103 @@ def test_segments_match_reference(ref, tmp_path):
         assert a.start == pytest.approx(b.start)
         assert a.duration == pytest.approx(b.duration)
         np.testing.assert_array_equal(np.sort(a._index), np.sort(b._index))
+
+def test_match_list_matches_reference(ref):
+    """Fuzzy alignment parity on random word/int sequences, both modes.
+
+    The rewrite pairs merged opcode blocks; the reference pairs
+    per-position editops — these must select identical index pairs,
+    including the subtle unequal-length replace regions in 'keep' mode.
+    """
+    from algonauts2025_tpu.data.text_match import match_list
+
+    rng = np.random.default_rng(7)
+    vocab = ["the", "cat", "sat", "on", "a", "mat", "dog", "ran", "far", "up"]
+    for trial in range(25):
+        n = int(rng.integers(3, 40))
+        a = [vocab[i] for i in rng.integers(0, len(vocab), n)]
+        # derive b by random edits: drops, dupes, substitutions
+        b = []
+        for w in a:
+            r = rng.random()
+            if r < 0.15:
+                continue  # drop
+            if r < 0.30:
+                b.append(vocab[int(rng.integers(0, len(vocab)))])  # substitute
+            else:
+                b.append(w)
+            if rng.random() < 0.10:
+                b.append(vocab[int(rng.integers(0, len(vocab)))])  # insert
+        if not b:
+            b = [a[0]]
+        for on_replace in ("delete", "keep"):
+            ours = match_list(np.array(a), np.array(b), on_replace=on_replace)
+            theirs = ref.utils.match_list(
+                np.array(a), np.array(b), on_replace=on_replace
+            )
+            np.testing.assert_array_equal(ours[0], theirs[0], err_msg=f"{trial} {on_replace} A")
+            np.testing.assert_array_equal(ours[1], theirs[1], err_msg=f"{trial} {on_replace} B")
+        # string inputs too
+        sa, sb = " ".join(a), " ".join(b)
+        ours = match_list(sa, sb)
+        theirs = ref.utils.match_list(sa, sb)
+        np.testing.assert_array_equal(ours[0], theirs[0])
+        np.testing.assert_array_equal(ours[1], theirs[1])
+
+
+def test_diverse_subset_matches_reference():
+    """Greedy most-diverse run selection parity with the reference
+    (algonauts2025/grids/average_submissions.py:19-53), including tie
+    behavior, on random correlation matrices."""
+    ref_path = Path("/root/reference/algonauts2025/grids/average_submissions.py")
+    if not ref_path.exists():
+        pytest.skip("reference grids not mounted")
+    src = ref_path.read_text()
+    # isolate the pure selection function (module imports torch/tqdm)
+    ns: dict = {}
+    fn_src = src[src.index("def select_diverse_subset") : src.index("def get_k_most_diverse_indices")]
+    exec(fn_src, ns)  # noqa: S102 - reference oracle
+    ref_select = ns["select_diverse_subset"]
+
+    from algonauts2025_tpu.grids.average_submissions import select_diverse_subset
+
+    rng = np.random.default_rng(3)
+    for trial in range(10):
+        n = int(rng.integers(3, 30))
+        x = rng.standard_normal((n, 50))
+        corr = np.corrcoef(x)
+        for k in (1, 2, min(5, n), n):
+            ours = select_diverse_subset(corr, k)
+            theirs = ref_select(corr, k)
+            assert list(ours) == list(theirs), (trial, k)
+
+
+def test_event_dict_round_trip_matches_reference(ref):
+    """from_dict/to_dict parity for the rewritten event taxonomy: same
+    rows (extras, extra__ prefixes, NaN cells, stray columns) must produce
+    identical flattened dicts through both stacks."""
+    from algonauts2025_tpu.core import events as ours
+
+    rows = [
+        {"type": "Event", "timeline": "tl", "start": 1.5, "duration": 2.0,
+         "note": "stray", "extra__tag": 7},
+        {"type": "Word", "timeline": "tl", "start": 0.25, "duration": 0.4,
+         "text": "hello", "sentence": "hello world", "sentence_char": 0,
+         "context": "hello", "bonus": 3.5},
+        {"type": "Word", "timeline": "tl", "start": 2.0, "duration": float("nan"),
+         "text": "nanless", "sentence_char": float("nan")},
+        {"type": "Text", "timeline": "tl", "start": 9.0, "duration": 1.0,
+         "text": "a line of text", "extra__source": "tsv"},
+        {"type": "Sentence", "timeline": "tl", "start": 4.0, "duration": 2.5,
+         "text": "s", "split": "train"},
+    ]
+    for row in rows:
+        mine = ours.Event.from_dict(dict(row))
+        theirs = ref.events.Event.from_dict(dict(row))
+        d_mine = mine.to_dict()
+        d_theirs = theirs.to_dict()
+        assert set(d_mine) == set(d_theirs), row
+        for key in d_theirs:
+            a, b = d_mine[key], d_theirs[key]
+            assert (a == b) or (pd.isna(a) and pd.isna(b)), (row, key, a, b)
+        assert mine.stop == theirs.stop
