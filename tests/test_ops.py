@@ -315,3 +315,19 @@ def test_flash_attention_pathological_norms_fallback(rng):
     ref = np.asarray(v).mean(axis=2, keepdims=True)
     assert np.abs(out).max() > 0, "fallback did not engage: all-zero output"
     np.testing.assert_allclose(out, np.broadcast_to(ref, out.shape), atol=2e-2)
+
+
+@pytest.mark.parametrize("t", [1024, 1536, 2048])
+def test_flash_attention_default_blocks_across_lengths(t, rng):
+    """The default-argument fast path (block auto-growth + qb override)
+    must stay exact at every supported sequence length."""
+    from algonauts2025_tpu.ops.flash_attention import flash_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 2, t, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, t, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, t, 64)).astype(np.float32))
+    ref = dot_product_attention(q, k, v)
+    # mirror the callers' _pick_block contract: blocks must divide T
+    kwargs = {} if t % 1024 == 0 else {"q_block": 512, "kv_block": 512}
+    out = flash_attention(q, k, v, interpret=True, **kwargs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
