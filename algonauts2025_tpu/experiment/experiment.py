@@ -213,14 +213,17 @@ class Experiment(pydantic.BaseModel):
         total_steps = self.n_epochs * steps_per_epoch
         trainer.init_state(probe_batch, total_steps=total_steps)
 
-        # resume: explicit checkpoint or last.ckpt in the run folder
+        # resume: explicit checkpoint or last.ckpt in the run folder.  An
+        # explicit checkpoint_path is a WARM START (weights only, fresh
+        # optimizer/schedule/SWA — reference load_from_checkpoint
+        # strict=False semantics); last.ckpt is a full resume.
         start_epoch = 0
         ckpt = self._get_checkpoint_path()
         if ckpt is not None:
-            start_epoch = trainer.load_checkpoint(ckpt, strict=False)
+            start_epoch = trainer.load_checkpoint(
+                ckpt, strict=False, params_only=bool(self.checkpoint_path)
+            )
             logger.info("Loaded checkpoint %s (next epoch %d)", ckpt, start_epoch)
-        if self.checkpoint_path:
-            start_epoch = 0  # warm start, not resume
 
         train_events = events[events.split == "train"] if train_ds is not None else None
         rng = np.random.default_rng(self.seed or 0)

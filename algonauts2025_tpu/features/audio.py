@@ -225,12 +225,17 @@ class Wav2VecBert(LayeredFeatureBase):
                 try:
                     self._backbone = load_hf_audio_backbone(self.model_name)
                 except Exception as e:
-                    logger.warning(
-                        "Could not load %s (%s); using TinyAudioBackbone",
-                        self.model_name,
-                        e,
-                    )
-                    self._backbone = TinyAudioBackbone()
+                    # never substitute random weights for a named model:
+                    # features are cached under this config's uid, so a
+                    # silent fallback would poison the cache for every
+                    # later (healthy) run.  Use model_name="tiny-random"
+                    # explicitly for offline/synthetic pipelines.
+                    raise RuntimeError(
+                        f"Could not load audio backbone {self.model_name!r}; "
+                        "refusing to substitute random weights under the same "
+                        "cache identity (use model_name='tiny-random' for "
+                        "offline runs)"
+                    ) from e
         return self._backbone
 
     def _read_mono_zscore(self, event: Event) -> tuple[np.ndarray, float]:

@@ -109,11 +109,18 @@ class JaxTextBackbone(TextBackbone):
             seqs.append(ids[-max_len:] if len(ids) > max_len else ids)  # left-truncate
         longest = max((len(s) for s in seqs), default=1)
         width = _bucket(max(1, longest), self.BUCKETS)
+        if longest > width:
+            # sequences beyond the bucket table (max_len > BUCKETS[-1]):
+            # extend in 512-token steps instead of silently truncating
+            width = -(-longest // 512) * 512
         ids = np.full((len(seqs), width), self.pad_id, dtype=np.int32)
         mask = np.zeros((len(seqs), width), dtype=np.int32)
         for i, s in enumerate(seqs):
             if not s:
                 s = [self.pad_id]
+            # the bucket table caps the device width: keep the END of the
+            # sequence (running contexts are left-truncated by contract)
+            s = s[-width:]
             ids[i, : len(s)] = s  # right padding (reference tokenizer default)
             mask[i, : len(s)] = 1
         return ids, mask
@@ -226,13 +233,17 @@ class LLAMA3p2(LayeredFeatureBase):
             else:
                 try:
                     self._backbone = load_hf_text_backbone(self.model_name)
-                except Exception as e:  # offline: keep pipeline alive
-                    logger.warning(
-                        "Could not load %s (%s); using TinyTextBackbone",
-                        self.model_name,
-                        e,
-                    )
-                    self._backbone = TinyTextBackbone()
+                except Exception as e:
+                    # never substitute random weights for a named model (the
+                    # cache is keyed by this config's uid — a silent fallback
+                    # would poison it); use model_name="tiny-random" for
+                    # offline/synthetic pipelines
+                    raise RuntimeError(
+                        f"Could not load text backbone {self.model_name!r}; "
+                        "refusing to substitute random weights under the same "
+                        "cache identity (use model_name='tiny-random' for "
+                        "offline runs)"
+                    ) from e
         return self._backbone
 
     def _compute(self, events: tp.Sequence[Word]) -> tp.Iterator[np.ndarray]:

@@ -258,12 +258,16 @@ class VJEPA2(LayeredFeatureBase):
                         quant_static=self.quant_static,
                     )
                 except Exception as e:
-                    logger.warning(
-                        "Could not load %s (%s); using TinyVideoBackbone",
-                        self.model_name,
-                        e,
-                    )
-                    self._backbone = TinyVideoBackbone()
+                    # never substitute random weights for a named model (the
+                    # cache is keyed by this config's uid — a silent fallback
+                    # would poison it); use model_name="tiny-random" for
+                    # offline/synthetic pipelines
+                    raise RuntimeError(
+                        f"Could not load video backbone {self.model_name!r}; "
+                        "refusing to substitute random weights under the same "
+                        "cache identity (use model_name='tiny-random' for "
+                        "offline runs)"
+                    ) from e
         return self._backbone
 
     def _compute(self, events: tp.Sequence[Video]) -> tp.Iterator[np.ndarray]:

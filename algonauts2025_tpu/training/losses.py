@@ -40,9 +40,14 @@ def smooth_l1_loss(pred: jax.Array, target: jax.Array, beta: float = 1.0) -> jax
 
 
 def pearson_loss(
-    pred: jax.Array, target: jax.Array, dim: int = 1, eps: float = 1e-8
+    pred: jax.Array,
+    target: jax.Array,
+    dim: int = 1,
+    eps: float = 1e-8,
+    reduction: str = "mean",
 ) -> jax.Array:
-    """1 - r per column of (N, D) (reference losses.py:17-42)."""
+    """1 - r per column of (N, D), reduced like torch losses
+    (reference losses.py:17-42)."""
     x = jnp.moveaxis(pred, dim, 0)
     y = jnp.moveaxis(target, dim, 0)
     x = x.reshape(x.shape[0], -1)
@@ -54,7 +59,12 @@ def pearson_loss(
     xs = jnp.sqrt(jnp.sum(x**2, axis=1) + eps)
     ys = jnp.sqrt(jnp.sum(y**2, axis=1) + eps)
     pcc = cov / (xs * ys + eps)
-    return jnp.mean(1 - pcc)
+    per_column = 1 - pcc
+    if reduction == "sum":
+        return jnp.sum(per_column)
+    if reduction == "none":
+        return per_column
+    return jnp.mean(per_column)
 
 
 def bce_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.Array:
@@ -127,8 +137,13 @@ class PearsonLossConfig(BaseLossConfig):
     dim: int = 1
 
     def build(self) -> LossFn:
+        if self.reduction not in ("mean", "sum", "none"):
+            raise ValueError(f"unknown reduction {self.reduction!r}")
+
         def fn(pred: jax.Array, target: jax.Array) -> jax.Array:
-            return pearson_loss(pred, target, dim=self.dim)
+            return pearson_loss(
+                pred, target, dim=self.dim, reduction=self.reduction
+            )
 
         return fn
 

@@ -200,9 +200,12 @@ class GroupedMetric(Metric):
         return {str(g): m.compute() for g, m in sorted(self._members.items())}
 
 
+@jax.jit
 def _retrieval_ranks(x: jax.Array, y: jax.Array, eps: float = 1e-15) -> jax.Array:
     """Rank of the true row of y for each row of x under cosine-vs-y scoring
-    (reference metrics.py:89-137, norm_kind='y', midrank ties)."""
+    (reference metrics.py:89-137, norm_kind='y', midrank ties).  Jitted —
+    per-batch eager device ops are pathologically slow on remotely
+    attached chips (CLAUDE.md)."""
     inv_norms = 1.0 / (eps + jnp.linalg.norm(y, axis=1))
     scores = jnp.einsum("bc,oc,o->bo", x, y, inv_norms)
     true_scores = jnp.diag(scores)[:, None]

@@ -50,12 +50,19 @@ class OptimizerConfig(pydantic.BaseModel):
                     mu_dtype=mu_dtype,
                 )
             return optax.adam(schedule, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype)
+        def decayed(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+            # torch applies weight_decay as an L2 term added to the raw
+            # gradient (before momentum/preconditioning) — never drop it
+            if not weight_decay:
+                return tx
+            return optax.chain(optax.add_decayed_weights(weight_decay), tx)
+
         if name == "SGD":
-            return optax.sgd(schedule, momentum=momentum or None)
+            return decayed(optax.sgd(schedule, momentum=momentum or None))
         if name == "Adagrad":
-            return optax.adagrad(schedule)
+            return decayed(optax.adagrad(schedule))
         if name == "RMSprop":
-            return optax.rmsprop(schedule, momentum=momentum)
+            return decayed(optax.rmsprop(schedule, momentum=momentum))
         if name == "Lion":
             return optax.lion(schedule, weight_decay=weight_decay)
         # remaining torch.optim family members with optax equivalents
@@ -69,7 +76,7 @@ class OptimizerConfig(pydantic.BaseModel):
                                        weight_decay=weight_decay),
         }
         if name in simple:
-            return simple[name]()
+            return decayed(simple[name]()) if name != "LAMB" else simple[name]()
         raise ValueError(f"Unknown optimizer: {name} (use one of "
                          f"Adam/AdamW/SGD/Adagrad/RMSprop/Lion/{'/'.join(simple)})")
 
@@ -156,10 +163,24 @@ class OptimConfig(pydantic.BaseModel):
         total_steps: int,
         swa_start_step: int | None = None,
         swa_lr: float = 1e-5,
+        steps_per_epoch: int | None = None,
     ) -> tuple[optax.GradientTransformation, optax.Schedule]:
         base_lr = self.optimizer.lr
         if self.scheduler is not None:
-            schedule: optax.Schedule | float = self.scheduler.build(base_lr, total_steps)
+            if self.interval == "epoch":
+                # torch semantics: scheduler.step() once per epoch — the
+                # schedule is built in epoch units and advanced every
+                # steps_per_epoch optimizer steps
+                if steps_per_epoch is None:
+                    raise ValueError(
+                        "interval='epoch' requires steps_per_epoch"
+                    )
+                spe = max(1, steps_per_epoch)
+                n_epochs = max(1, total_steps // spe)
+                inner = self.scheduler.build(base_lr, n_epochs)
+                schedule = lambda step: inner(step // spe)  # noqa: E731
+            else:
+                schedule = self.scheduler.build(base_lr, total_steps)
         else:
             schedule = optax.constant_schedule(base_lr)
         if swa_start_step is not None and swa_start_step < total_steps:

@@ -46,6 +46,13 @@ class TrainState(struct.PyTreeNode):
     opt_state: tp.Any
 
 
+@jax.jit
+def _jit_time_mean(x):
+    """Jitted (B, D, T) -> (B, D) mean (eager per-batch device ops are
+    pathologically slow on remotely attached chips)."""
+    return x.mean(axis=-1)
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     n_epochs: int = 10
@@ -108,7 +115,10 @@ class BrainTrainer:
             int(total_steps * cfg.swa_start) if cfg.swa_enabled else None
         )
         self.tx, self.schedule = self.optim_config.build(
-            total_steps, swa_start_step=swa_start_step, swa_lr=cfg.swa_lr
+            total_steps,
+            swa_start_step=swa_start_step,
+            swa_lr=cfg.swa_lr,
+            steps_per_epoch=max(1, total_steps // max(1, cfg.n_epochs)),
         )
         rng = jax.random.PRNGKey(cfg.seed)
         batch = {k: jnp.asarray(v) for k, v in example_batch.data.items()}
@@ -306,6 +316,16 @@ class BrainTrainer:
             )
 
             monitored = val_metrics.get(cfg.monitor)
+            if monitored is None and val_metrics:
+                # a missing monitor key must be loud: treating it as "no
+                # improvement" would silently skip best.ckpt and let
+                # patience stop training regardless of actual progress
+                raise KeyError(
+                    f"monitor {cfg.monitor!r} not in validation metrics "
+                    f"{sorted(val_metrics)}; set TrainerConfig.monitor to one "
+                    "of these (grouped metrics log per-group keys like "
+                    "'val/pearson/0' plus the mean under their log_name)"
+                )
             improved = monitored is not None and (
                 monitored > best if cfg.monitor_mode == "max" else monitored < best
             )
@@ -320,12 +340,18 @@ class BrainTrainer:
                 logger.info("Early stopping at epoch %d", epoch)
                 break
 
-        # adopt SWA weights at the end of training (Lightning parity)
+        # adopt SWA weights at the end of training (Lightning parity).
+        # After a resume that runs zero epochs the restored params can be
+        # plain numpy (no .sharding) — place the SWA slot plainly then.
         if cfg.swa_enabled and self._swa_count > 0:
-            swa = jax.device_put(
-                self._swa_params,
-                jax.tree.map(lambda p: p.sharding, self.state.params),
-            )
+            sample = jax.tree_util.tree_leaves(self.state.params)
+            if sample and hasattr(sample[0], "sharding"):
+                swa = jax.device_put(
+                    self._swa_params,
+                    jax.tree.map(lambda p: p.sharding, self.state.params),
+                )
+            else:
+                swa = jax.device_put(self._swa_params)
             self.state = self.state.replace(params=swa)
             self.save_checkpoint("last", epoch=n_epochs - 1)
 
@@ -352,13 +378,19 @@ class BrainTrainer:
             if subject_ids is not None:
                 segment_groups = subject_ids.reshape(-1)
                 voxel_groups = jnp.repeat(segment_groups, y_pred.shape[2])
+            retrieval_args = None  # time-means computed once per batch
             for name, metric in self.metrics.items():
                 if not name.startswith(split):
                     continue
                 # dispatch on capability flags (Metric.is_retrieval /
                 # .needs_groups), never on class names
                 if metric.is_retrieval:
-                    args = (y_pred.mean(axis=-1), y_true.mean(axis=-1))
+                    if retrieval_args is None:
+                        retrieval_args = (
+                            _jit_time_mean(y_pred),
+                            _jit_time_mean(y_true),
+                        )
+                    args = retrieval_args
                     groups = segment_groups
                 else:
                     args = (yp, yt)
@@ -383,6 +415,10 @@ class BrainTrainer:
             if isinstance(value, dict):
                 for k, v in value.items():
                     out[f"{name}/{k}"] = v
+                if value and name not in out:
+                    # also expose the group mean under the base name so a
+                    # grouped metric can be monitored directly
+                    out[name] = float(np.mean(list(value.values())))
             else:
                 out[name] = value
         return out
@@ -418,8 +454,17 @@ class BrainTrainer:
                 payload["swa_params"] = self._swa_params
             ckptr.save(path.resolve(), payload, force=True)
 
-    def load_checkpoint(self, path: str | Path, strict: bool = True) -> int:
-        """Restore state; returns the next epoch to run."""
+    def load_checkpoint(
+        self, path: str | Path, strict: bool = True, params_only: bool = False
+    ) -> int:
+        """Restore state; returns the next epoch to run.
+
+        ``params_only`` adopts only the model weights (warm start, matching
+        the reference's ``load_from_checkpoint(strict=False)``): the fresh
+        optimizer state, schedule position, and SWA slots are kept, so the
+        new run trains its own LR trajectory instead of resuming the old
+        run's final/SWA learning rate.
+        """
         import orbax.checkpoint as ocp
 
         assert self.state is not None, "init_state before load_checkpoint"
@@ -440,6 +485,19 @@ class BrainTrainer:
                     logger.warning("Non-strict checkpoint load failed for %s", path)
                     return 0
         state = restored["state"]
+        if params_only:
+            cur = self.state.params
+            params = jax.tree.map(
+                lambda old, new: (
+                    jax.device_put(jnp.asarray(new), old.sharding)
+                    if hasattr(old, "sharding")
+                    else jnp.asarray(new)
+                ),
+                cur,
+                state.params,
+            )
+            self.state = self.state.replace(params=params)
+            return 0
         if self.mesh is not None:
             from ..parallel.sharding import state_shardings
 
