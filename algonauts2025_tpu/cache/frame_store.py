@@ -7,6 +7,7 @@ fully-enhanced events table (reference data_utils/data_utils/data.py:122,207).
 from __future__ import annotations
 
 import hashlib
+import os
 from pathlib import Path
 
 import pandas as pd
@@ -40,7 +41,10 @@ class FrameStore:
         return pd.read_parquet(path)
 
     def __setitem__(self, key: str, df: pd.DataFrame) -> None:
-        tmp = self._path(key).with_suffix(".tmp")
+        # per-process temp name: concurrent writers of the same key (job
+        # arrays building the same study) must not interleave into one
+        # .tmp file; the atomic replace makes last-writer-wins safe
+        tmp = self._path(key).with_suffix(f".tmp{os.getpid()}")
         # parquet requires homogeneous column types; object columns holding
         # mixed values are stringified (the event round-trip restores types)
         df = df.copy()
@@ -54,4 +58,6 @@ class FrameStore:
 
     def clear(self) -> None:
         for p in self.folder.glob("*.parquet"):
+            p.unlink()
+        for p in self.folder.glob("*.tmp*"):  # orphans from killed writers
             p.unlink()

@@ -117,7 +117,20 @@ class CachedMap:
                 len(seen),
                 store.folder,
             )
-            store.append_many(self._compute(missing_uids, to_compute))
+            # consume the compute generator OUTSIDE the store lock: the
+            # bulk fn can run for minutes/hours (backbone inference), and
+            # append_many holds an exclusive file lock while iterating —
+            # holding it across compute would time out every concurrent
+            # shard of a job array.  Small batches keep memory bounded
+            # while the per-record index flush preserves crash safety.
+            batch: list[tuple[str, np.ndarray]] = []
+            for item in self._compute(missing_uids, to_compute):
+                batch.append(item)
+                if len(batch) >= 8:
+                    store.append_many(batch)
+                    batch = []
+            if batch:
+                store.append_many(batch)
         return [store[u] for u in uids]
 
     def _compute(

@@ -9,6 +9,7 @@ overrides and cache identity (reference grids/test_run.py:38-41 uses
 from __future__ import annotations
 
 import hashlib
+import math
 import typing as tp
 
 import numpy as np
@@ -33,9 +34,9 @@ def _flatten(data: tp.Mapping[str, tp.Any], prefix: str = "") -> dict[str, tp.An
 
 def _to_uid_value(v: tp.Any) -> str:
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e12:
+        if math.isfinite(v) and v == int(v) and abs(v) < 1e12:
             return str(int(v))
-        return f"{v:g}"
+        return f"{v:g}"  # inf/nan format fine; int() on them would raise
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_to_uid_value(x) for x in v) + "]"
     if v is None:

@@ -35,11 +35,41 @@ def _normalize(value: tp.Any) -> tp.Any:
     return value
 
 
+def _convert_field(model: pydantic.BaseModel, name: str, value: tp.Any) -> tp.Any:
+    """json-mode value for one field, recursing into live submodels so
+    their own uid exclusions apply (a flat model_dump would flatten them
+    first and silently skip every nested hook)."""
+    if isinstance(value, pydantic.BaseModel):
+        return dump_for_uid(value)
+    if isinstance(value, (list, tuple)) and any(
+        isinstance(v, pydantic.BaseModel) for v in value
+    ):
+        return [
+            dump_for_uid(v) if isinstance(v, pydantic.BaseModel) else _normalize(v)
+            for v in value
+        ]
+    if isinstance(value, dict) and any(
+        isinstance(v, pydantic.BaseModel) for v in value.values()
+    ):
+        return {
+            str(k): (
+                dump_for_uid(v) if isinstance(v, pydantic.BaseModel) else _normalize(v)
+            )
+            for k, v in value.items()
+        }
+    # plain leaf: let pydantic handle json conversion (Paths, enums, ...)
+    return model.model_dump(mode="json", include={name}).get(name)
+
+
 def dump_for_uid(
     model: pydantic.BaseModel, exclude: tp.Collection[str] = ()
 ) -> dict[str, tp.Any]:
-    """model_dump with exclusions applied, plus instance/class-level
-    ``_exclude_from_cache_uid`` / ``_exclude_from_cls_uid`` hooks."""
+    """Field dump with exclusions applied, plus instance/class-level
+    ``_exclude_from_cache_uid`` / ``_exclude_from_cls_uid`` hooks —
+    applied RECURSIVELY: nested configs keep their own exclusion contract
+    (a nested feature's ``device``/``batch_size`` must not invalidate the
+    parent experiment's cache), and ``infra`` placement is dropped at
+    every level (reference exca contract)."""
     excluded = set(exclude)
     hook = getattr(model, "_exclude_from_cache_uid", None)
     if callable(hook):
@@ -47,10 +77,12 @@ def dump_for_uid(
     cls_hook = getattr(type(model), "_exclude_from_cls_uid", None)
     if callable(cls_hook):
         excluded.update(cls_hook())
-    data = model.model_dump(mode="json")
-    for field in excluded:
-        data.pop(field, None)
-    data.pop("infra", None)  # infra placement never affects results
+    excluded.add("infra")  # infra placement never affects results
+    data = {
+        name: _convert_field(model, name, getattr(model, name))
+        for name in type(model).model_fields
+        if name not in excluded
+    }
     return _normalize(data)
 
 

@@ -143,7 +143,14 @@ class StudyLoader(pydantic.BaseModel):
     path: PathLike
     study: str = "Algonauts2025"
     query: Optional[str] = None
-    enhancers: Union[List[Enhancer], Dict[str, Enhancer]] = []
+    # SerializeAsAny: the wrap-validator dispatches into subclasses, so
+    # serialization must follow the runtime class too — a plain Enhancer
+    # annotation dumps only base fields, silently dropping every enhancer
+    # kwarg on round trips (job-array task files, cache uids)
+    enhancers: Union[
+        List[pydantic.SerializeAsAny[Enhancer]],
+        Dict[str, pydantic.SerializeAsAny[Enhancer]],
+    ] = []
     infra: StudyInfra = StudyInfra()
     cache_all_timelines: bool = True
 

@@ -40,6 +40,15 @@ class VideoBackbone:
         raise NotImplementedError
 
 
+def _iter_leaves(tree: dict, prefix: str = ""):
+    """Yield (leaf_key, value) pairs of a nested dict param tree."""
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _iter_leaves(v, k)
+        else:
+            yield k, v
+
+
 class JaxVideoBackbone(VideoBackbone):
     """Jit'd window encoder; with ``mesh`` the window batch shards over the
     mesh's "data" axis (params replicated) so feature extraction scales
@@ -55,6 +64,21 @@ class JaxVideoBackbone(VideoBackbone):
         self.n_frames = n_frames
         self.crop_size = crop_size
         self.mesh = mesh
+        if getattr(getattr(model, "cfg", None), "quant_static", False):
+            # a_scale == 0 is the "uncalibrated" sentinel: running the
+            # static-scale path with it saturates every activation to
+            # +/-127 and produces finite garbage — catch it at build time
+            scales = [
+                np.asarray(jax.device_get(v)).ravel()
+                for k, v in _iter_leaves(params)
+                if k == "a_scale"
+            ]
+            if scales and any((s <= 0).any() for s in scales):
+                raise ValueError(
+                    "quant_static model has uncalibrated activation scales "
+                    "(a_scale == 0); run ops.quant.calibrate_quant_scales "
+                    "on the dynamic-scale model first"
+                )
 
         from ..ops.video_prep import preprocess_frames
 

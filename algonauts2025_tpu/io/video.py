@@ -41,11 +41,18 @@ def info(path: str) -> Info:
 
     cap = _open(path)
     try:
-        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        fps = cap.get(cv2.CAP_PROP_FPS)
+        if not fps or fps <= 0:
+            # never fabricate a rate: all frame indexing and the clip
+            # duration would be silently misaligned
+            raise ValueError(
+                f"Container reports no frame rate for {path}; re-mux the "
+                "file with explicit fps metadata"
+            )
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        return Info(fps=fps, duration=n / fps if fps else 0.0, n_frames=n, width=w, height=h)
+        return Info(fps=fps, duration=n / fps, n_frames=n, width=w, height=h)
     finally:
         cap.release()
 

@@ -54,6 +54,8 @@ def _parse_header(path: str) -> _Format:
             chunk_id, size = head[:4], struct.unpack("<I", head[4:])[0]
             if chunk_id == b"fmt ":
                 payload = f.read(size)
+                if size & 1:  # RIFF chunks are word-aligned: skip pad byte
+                    f.seek(1, 1)
                 audio_format, channels, samplerate = struct.unpack(
                     "<HHI", payload[:8]
                 )

@@ -1,7 +1,8 @@
 """Native data-plane library: build (g++) + ctypes bindings.
 
 Builds dataplane.cpp into a shared object on first use (cached next to the
-source, guarded by a lock file) and exposes typed wrappers.  Every entry
+source, built to a per-pid temp and atomically renamed) and exposes typed
+wrappers.  Every entry
 point has a NumPy fallback so the framework runs without a toolchain.
 """
 
@@ -28,6 +29,9 @@ _TRIED = False
 
 
 def _build() -> bool:
+    # per-pid output + atomic rename: concurrent processes (job arrays)
+    # may build simultaneously; none must ever CDLL a half-written .so
+    tmp = _SO.with_suffix(f".so.{os.getpid()}")
     cmd = [
         "g++",
         "-O3",
@@ -35,14 +39,16 @@ def _build() -> bool:
         "-shared",
         "-fPIC",
         "-o",
-        str(_SO),
+        str(tmp),
         str(_SRC),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         logger.warning("native build failed (%s); using NumPy fallbacks", e)
+        tmp.unlink(missing_ok=True)
         return False
 
 

@@ -361,14 +361,17 @@ def flash_attention(
         # measure fastest — the kernel is VMEM-bandwidth-bound on the
         # score block, and fewer iterations amortize fixed overhead
         # (21.5 vs 23.1 ms at ViT-G shapes, scripts/bench_attn.py).
-        qb = 1024 if t % 1024 == 0 and t >= 1024 else q_block
-        kvb = kv_block
-        while (
-            kvb * 2 <= t
-            and t % (kvb * 2) == 0
-            and qb * kvb * 2 * 4 <= 32 * 1024 * 1024
-        ):
-            kvb *= 2
+        # Auto-tuning only kicks in at the DEFAULT block args; explicit
+        # values are honored so callers can bound the VMEM footprint.
+        qb, kvb = q_block, kv_block
+        if (q_block, kv_block) == (512, 1024):
+            qb = 1024 if t % 1024 == 0 and t >= 1024 else q_block
+            while (
+                kvb * 2 <= t
+                and t % (kvb * 2) == 0
+                and qb * kvb * 2 * 4 <= 32 * 1024 * 1024
+            ):
+                kvb *= 2
         return _bounded_flash(q, k, v, qb, kvb, interpret)
     pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
     qp = jnp.pad(q, pad).reshape(b * h, t, dp)

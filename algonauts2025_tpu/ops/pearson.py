@@ -73,6 +73,8 @@ def compute_pearson(state: PearsonState, eps: float = 1e-8) -> jax.Array:
     """Per-column r from accumulated state -> (D,)."""
     n = state.n
     cov = state.sxy - state.sx * state.sy / n
-    vx = state.sxx - state.sx**2 / n
-    vy = state.syy - state.sy**2 / n
+    # fp32 cancellation can leave tiny-negative variances for near-constant
+    # columns; clamp before the sqrt or the metric silently turns NaN
+    vx = jnp.maximum(state.sxx - state.sx**2 / n, 0.0)
+    vy = jnp.maximum(state.syy - state.sy**2 / n, 0.0)
     return cov / (jnp.sqrt(vx * vy) + eps)

@@ -127,3 +127,110 @@ def test_monitor_key_missing_raises(tmp_path, rng):
     trainer.init_state(batch, total_steps=2)
     with pytest.raises(KeyError, match="definitely_missing"):
         trainer.fit(lambda epoch: [batch], lambda: [batch], steps_per_epoch=2)
+
+
+def test_nested_uid_exclusions_apply():
+    """A nested config's _exclude_from_cache_uid must not leak into the
+    parent's uid (reference exca contract: device/batch_size/infra never
+    invalidate caches, at any nesting level)."""
+    from algonauts2025_tpu.config.uid import config_uid
+    from algonauts2025_tpu.features.video import VJEPA2
+    import pydantic
+
+    class Parent(pydantic.BaseModel):
+        model_config = pydantic.ConfigDict(extra="forbid")
+        feature: VJEPA2 = VJEPA2(model_name="tiny-random")
+        seed: int = 0
+
+    a = Parent()
+    b = Parent(feature=VJEPA2(model_name="tiny-random", window_batch=8))
+    c = Parent(feature=VJEPA2(model_name="tiny-random", quantize=True))
+    assert config_uid(a) == config_uid(b)  # excluded nested field
+    assert config_uid(a) != config_uid(c)  # value-relevant nested field
+    assert config_uid(a) != config_uid(Parent(seed=1))
+
+
+def test_streaming_pearson_near_constant_no_nan(rng):
+    """fp32 cancellation on near-constant columns must not produce NaN."""
+    from algonauts2025_tpu.ops import (
+        compute_pearson,
+        init_pearson_state,
+        update_pearson_state,
+    )
+
+    state = init_pearson_state(3)
+    base = np.array([1e3, -1e3, 5e2], np.float32)
+    for _ in range(50):
+        x = base[None] + 1e-5 * rng.standard_normal((16, 3)).astype(np.float32)
+        y = base[None] + 1e-5 * rng.standard_normal((16, 3)).astype(np.float32)
+        state = update_pearson_state(state, jnp.asarray(x), jnp.asarray(y))
+    r = np.asarray(compute_pearson(state))
+    assert np.isfinite(r).all(), r
+
+
+def test_confdict_uid_nonfinite_floats():
+    from algonauts2025_tpu.config.confdict import ConfDict
+
+    uid = ConfDict({"optim.grad_clip": float("inf"), "x": float("nan")}).to_uid()
+    assert "inf" in uid and "nan" in uid
+
+
+def test_wav_odd_fmt_chunk(tmp_path):
+    """RIFF word alignment: an odd-sized fmt chunk is followed by a pad
+    byte that must be skipped."""
+    import struct
+
+    from algonauts2025_tpu.io import wav as wavio
+
+    sr, frames = 16000, 100
+    data = (np.sin(np.arange(frames)) * 1000).astype(np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16) + b"\x07"  # 17 bytes
+    riff = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"\x00"  # pad byte
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WAVE" + riff
+    p = tmp_path / "odd.wav"
+    p.write_bytes(blob)
+    info = wavio.info(str(p))
+    assert info.samplerate == sr and info.frames == frames
+    out = wavio.read(str(p))
+    assert out.shape[0] == frames
+
+
+def test_flash_attention_explicit_blocks_honored(rng):
+    """Explicit non-default blocks must reach the kernel (VMEM control)."""
+    from algonauts2025_tpu.ops.flash_attention import flash_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 2, 2048, 64)).astype(np.float32))
+    out = flash_attention(q, q, q, q_block=256, kv_block=512, interpret=True)
+    ref = flash_attention(q, q, q, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_enhancer_round_trip_keeps_kwargs():
+    """StudyLoader.enhancers must serialize subclass fields: a lossy dump
+    made job-array workers run with DEFAULT enhancer settings and gave
+    differing enhancer configs identical task uids."""
+    import json
+
+    from algonauts2025_tpu.config.uid import config_uid
+    from algonauts2025_tpu.data.study import StudyLoader
+
+    sl = StudyLoader(
+        study="synthetic",
+        path="/tmp/x",
+        enhancers=[
+            {"name": "AddSentenceToWords", "max_unmatched_ratio": 0.3},
+            {"name": "AddContextToWords", "max_context_len": 64, "sentence_only": False},
+        ],
+    )
+    rt = StudyLoader(**json.loads(sl.model_dump_json()))
+    assert rt.enhancers[0].max_unmatched_ratio == 0.3
+    assert rt.enhancers[1].max_context_len == 64
+    assert config_uid(sl) == config_uid(rt)
+    other = StudyLoader(
+        study="synthetic", path="/tmp/x",
+        enhancers=[{"name": "AddSentenceToWords", "max_unmatched_ratio": 0.1}],
+    )
+    assert config_uid(sl) != config_uid(other)
