@@ -52,6 +52,9 @@ class _Span(tp.NamedTuple):
     lo: float  # aligned window start (absolute seconds)
     width: float  # aligned window length (seconds)
     index: slice | None  # payload sample slice; None for static payloads
+    # (None is the REFERENCE CONTRACT, base.py:181: data[..., None] appends
+    # a broadcast axis so a static payload spreads over the target window
+    # during overlap-add accumulation — do not "fix" it to slice(None))
 
 
 def _clip_window(array: "TimedArray", start: float, duration: float) -> _Span | None:

@@ -255,8 +255,15 @@ def prefetch_to_device(
         except BaseException as e:  # propagate to consumer
             err.append(e)
         finally:
-            with contextlib.suppress(queue.Full):
-                q.put_nowait(_END)
+            # the END sentinel must never be dropped: with a full queue a
+            # put_nowait would silently lose it and the consumer's final
+            # q.get() would block forever at epoch end
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     thread = threading.Thread(target=_producer, daemon=True)
     thread.start()

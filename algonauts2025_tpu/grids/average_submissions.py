@@ -90,11 +90,25 @@ def _read_run(submission_zip: str) -> tp.Optional[RunArtifacts]:
     except Exception:
         logger.warning("Error loading submission from %s", submission_zip)
         return None
+    # sidecar artifacts are best-effort: a partially-written run folder
+    # (corrupt metrics.csv, missing pearson.npy) must degrade to a skipped
+    # or unweighted run, never abort the whole ensemble
+    try:
+        metrics = pd.read_csv(folder / "metrics.csv")
+    except Exception:
+        logger.warning("Error loading metrics.csv from %s", folder)
+        metrics = pd.DataFrame()
     pearson_file = folder / "pearson.npy"
+    pearson = None
+    if pearson_file.exists():
+        try:
+            pearson = np.load(pearson_file)
+        except Exception:
+            logger.warning("Error loading pearson.npy from %s", folder)
     return RunArtifacts(
         predictions=predictions,
-        metrics=pd.read_csv(folder / "metrics.csv"),
-        pearson=np.load(pearson_file) if pearson_file.exists() else None,
+        metrics=metrics,
+        pearson=pearson,
     )
 
 
@@ -115,6 +129,13 @@ def _ensemble_weights(
     """(n_runs, 1, 1) scalar or (n_runs, 1, n_voxels) per-voxel weights,
     broadcastable against stacked (n_runs, time, voxels) predictions."""
     if per_voxel:
+        missing = [i for i, r in enumerate(runs) if r.pearson is None]
+        if missing:
+            raise ValueError(
+                f"per_voxel_weights needs pearson.npy for every run; runs "
+                f"{missing} have none (test_only runs skip the val pass "
+                "that writes it) — drop them or use score weighting"
+            )
         stacked = np.stack([r.pearson for r in runs]) / temperature
         return _softmax(stacked, axis=0)[:, None, :]
     scores = np.array([r.score for r in runs])

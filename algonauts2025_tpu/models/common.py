@@ -109,8 +109,20 @@ class Mlp(nn.Module):
             "gelu": nn.gelu,
             "relu": nn.relu,
             "elu": nn.elu,
+            "prelu": None,  # module with a learned slope, built in the loop
             None: lambda v: v,
         }
+        if self.activation_layer not in acts:
+            raise ValueError(f"unknown activation_layer {self.activation_layer!r}")
+        if self.norm_layer not in ("layer", None):
+            # reference parity surface also names batch/instance norms;
+            # those need mutable running stats the functional trainer does
+            # not thread — fail loudly rather than silently training a
+            # different architecture
+            raise NotImplementedError(
+                f"norm_layer={self.norm_layer!r} is not supported (use "
+                "'layer' or None)"
+            )
         sizes = list(self.hidden_sizes)
         if self.output_size is not None:
             sizes = sizes + [self.output_size]
@@ -121,7 +133,10 @@ class Mlp(nn.Module):
             if i < len(sizes) - 1:
                 if self.norm_layer == "layer":
                     x = nn.LayerNorm()(x)
-                x = acts[self.activation_layer](x)
+                if self.activation_layer == "prelu":
+                    x = nn.PReLU()(x)  # learned slope, torch PReLU parity
+                else:
+                    x = acts[self.activation_layer](x)
                 if self.dropout > 0:
                     x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x

@@ -152,16 +152,7 @@ class TransformerEncoder(nn.Module):
         dh = self.dim_head or self.dim // self.heads
         rotary_dim = max(dh // 2, 32) if self.rotary_pos_emb else 0
         rotary_dim = min(rotary_dim, dh)
-        mask = None
-        if self.causal:
-            t = x.shape[1]
-            mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
-
-        block_cls = EncoderBlock
-        if self.remat:
-            block_cls = nn.remat(EncoderBlock, static_argnums=(2,))
-
-        del block_cls, mask  # masking/remat handled inside the wrapper
+        # masking and remat both happen inside _BlockWrapper (the scan body)
         ScannedBlock = nn.scan(
             _BlockWrapper,
             variable_axes={"params": 0},

@@ -234,3 +234,40 @@ def test_enhancer_round_trip_keeps_kwargs():
         enhancers=[{"name": "AddSentenceToWords", "max_unmatched_ratio": 0.1}],
     )
     assert config_uid(sl) != config_uid(other)
+
+
+def test_prefetch_sentinel_survives_full_queue(rng):
+    """A slow consumer must still see end-of-epoch (the END sentinel was
+    dropped when the queue was full, hanging the final get forever)."""
+    import time
+
+    from algonauts2025_tpu.data.dataset import SegmentData, prefetch_to_device
+
+    batches = [
+        SegmentData(data={"x": np.ones((2, 2), np.float32) * i}, segments=[None, None])
+        for i in range(5)
+    ]
+    seen = []
+    for b in prefetch_to_device(iter(batches)):
+        time.sleep(0.05)  # slower than the producer
+        seen.append(float(np.asarray(b.data["x"])[0, 0]))
+    assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_mlp_prelu_and_unsupported_norms(rng):
+    from algonauts2025_tpu.models.common import MlpConfig
+    import jax
+
+    mlp = MlpConfig(hidden_sizes=[8], activation_layer="prelu").build(
+        output_size=4
+    )
+    x = jnp.asarray(rng.standard_normal((3, 6)).astype(np.float32))
+    params = mlp.init(jax.random.PRNGKey(0), x)
+    out = mlp.apply(params, x)
+    assert out.shape == (3, 4) and np.isfinite(np.asarray(out)).all()
+
+    import pytest as _pytest
+
+    bad = MlpConfig(hidden_sizes=[8], norm_layer="batch").build(output_size=4)
+    with _pytest.raises(NotImplementedError):
+        bad.init(jax.random.PRNGKey(0), x)
