@@ -158,8 +158,25 @@ default_config = {
 
 
 if __name__ == "__main__":
+    import sys
+
+    from ..config import ConfDict
     from ..experiment import Experiment
 
-    exp = Experiment(**default_config)
+    # dotted-key overrides from argv, reference run.sh style:
+    #   python -m algonauts2025_tpu.grids.defaults n_epochs=1 data.batch_size=8
+    cfg = ConfDict(default_config)
+    for arg in sys.argv[1:]:
+        if "=" not in arg:
+            raise SystemExit(f"expected key=value overrides, got {arg!r}")
+        key, value = arg.split("=", 1)
+        try:
+            import json
+
+            value = json.loads(value)  # numbers/bools/null/lists
+        except ValueError:
+            pass  # keep as string
+        cfg[key] = value
+    exp = Experiment(**cfg.to_dict())
     exp.infra.clear_job()
     print(exp.run())

@@ -34,7 +34,8 @@ import numpy as np
 
 A100_BASELINE_EST = 1.0  # stimulus-sec/sec/chip, documented estimate above
 
-STIM_SECONDS = float(os.environ.get("BENCH_STIM_SECONDS", 30.0))
+# >= 1 s: below that the 2 Hz grid is empty and video warmup has no window
+STIM_SECONDS = max(1.0, float(os.environ.get("BENCH_STIM_SECONDS", 30.0)))
 WORDS_PER_SEC = 2.0
 CONTEXT_WORDS = 256  # typical running-context length mid-episode
 
@@ -106,8 +107,8 @@ def bench_audio(wav_path: Path) -> float:
     info = wavio.info(str(wav_path))
 
     def run() -> None:
-        wav = wavio.read(str(wav_path)).mean(axis=1)
-        wav = (wav - wav.mean()) / (1e-8 + wav.std())
+        # the production path: fused native decode -> mono -> z-score
+        wav = wavio.read_mono_zscore(str(wav_path))
         wav16 = resample_poly(jnp.asarray(wav), info.samplerate, 16000)
         backbone.hidden_states_2hz(wav16, int(2 * info.duration))  # stays on device
 
@@ -299,6 +300,9 @@ def main() -> None:
     else:
         t_video = 0.0
         log("video: skipped (no encoder available for synthetic mkv)")
+        # a bimodal number against a video-dominated baseline would be
+        # ~8x inflated: mark the metric so the record cannot masquerade
+        # as a trimodal result
 
     if os.environ.get("BENCH_SKIP_TRAIN"):
         t_step = None
@@ -308,11 +312,16 @@ def main() -> None:
 
     total = t_text + t_audio + t_video
     value = STIM_SECONDS / total
+    metric = "stimulus-sec/sec/chip (trimodal feature extraction)"
+    vs_baseline = round(value / A100_BASELINE_EST, 3)
+    if not have_video:
+        metric = "stimulus-sec/sec/chip (BIMODAL - video unavailable)"
+        vs_baseline = 0.0  # not comparable to the video-dominated estimate
     record = {
-        "metric": "stimulus-sec/sec/chip (trimodal feature extraction)",
+        "metric": metric,
         "value": round(value, 3),
         "unit": "stimulus_sec/s",
-        "vs_baseline": round(value / A100_BASELINE_EST, 3),
+        "vs_baseline": vs_baseline,
     }
     if t_step is not None:
         # secondary driver-visible metric: flagship training step time

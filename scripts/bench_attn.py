@@ -45,14 +45,17 @@ def timeit(name, fn, q, k, v, reps=3):
 
 
 def rel_err(name, fn, fn_ref, q, k, v):
-    a = jax.jit(fn)(q, k, v)
-    b = jax.jit(fn_ref)(q, k, v)
-    err = jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))
-    denom = jnp.abs(b.astype(jnp.float32)).mean()
-    print(
-        f"{name:18s} max_abs={float(err.max()):.2e} "
-        f"mean_rel={float(err.mean() / denom):.2e}"
-    )
+    # one jitted computation returning two scalars: eager elementwise ops
+    # would cost a remote round trip each on axon
+    @jax.jit
+    def stats(q, k, v):
+        a = fn(q, k, v).astype(jnp.float32)
+        b = fn_ref(q, k, v).astype(jnp.float32)
+        err = jnp.abs(a - b)
+        return err.max(), err.mean() / jnp.abs(b).mean()
+
+    mx, rel = jax.device_get(stats(q, k, v))
+    print(f"{name:18s} max_abs={float(mx):.2e} mean_rel={float(rel):.2e}")
 
 
 def main():

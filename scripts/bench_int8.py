@@ -24,7 +24,7 @@ R = 10
 
 
 def sync(x):
-    return float(jax.device_get(jax.numpy.ravel(x)[0]))
+    return float(jax.device_get(x))  # x is already a 0-d scalar
 
 
 def timeit(name, fn, *args):

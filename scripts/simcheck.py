@@ -14,7 +14,7 @@ import difflib
 import tokenize
 from pathlib import Path
 
-REPO = Path("/root/repo/algonauts2025_tpu")
+REPO = Path(__file__).resolve().parents[1] / "algonauts2025_tpu"
 REF = Path("/root/reference")
 
 # repo file -> reference counterpart

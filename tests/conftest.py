@@ -7,11 +7,16 @@ TPU hardware (the driver separately dry-runs the multi-chip path).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # tests run on the virtual CPU mesh
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# force EXACTLY 8 virtual devices, replacing any pre-existing count — a
+# CI image exporting a different value would silently run the sharding
+# tests single-device
+flags = [
+    f
+    for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(flags)
 
 import jax
 
