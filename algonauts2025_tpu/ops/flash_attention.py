@@ -212,7 +212,6 @@ def _bounded_kernel(
     *,
     kv_block: int,
     sum_lane: int,
-    score_dtype=jnp.float32,
 ):
     """Shifted-softmax fast path: exp(s - C) with C an a-priori upper bound.
 
@@ -261,8 +260,7 @@ def _bounded_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s.astype(score_dtype)
-        p = jnp.exp(s.astype(jnp.float32) - c)
+        p = jnp.exp(s - c)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -276,9 +274,7 @@ def _bounded_kernel(
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _bounded_flash(
-    q, k, v, q_block: int, kv_block: int, interpret: bool, score_dtype=jnp.float32
-):
+def _bounded_flash(q, k, v, q_block: int, kv_block: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -307,9 +303,7 @@ def _bounded_flash(
         q_block * kv_block * 4 * 2 + 4 * t * dp * 4 + 8 * 1024 * 1024,
     )
     out = pl.pallas_call(
-        functools.partial(
-            _bounded_kernel, kv_block=kv_block, sum_lane=d, score_dtype=score_dtype
-        ),
+        functools.partial(_bounded_kernel, kv_block=kv_block, sum_lane=d),
         out_shape=jax.ShapeDtypeStruct((b * h, t, dp), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
