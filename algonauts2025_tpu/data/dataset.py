@@ -229,10 +229,17 @@ def prefetch_to_device(
         if sharding is None:
             data = {k: jax.device_put(v) for k, v in batch.data.items()}
         else:
-            data = {
-                k: jax.device_put(v, sharding(k, v) if callable(sharding) else sharding)
-                for k, v in batch.data.items()
-            }
+            data = {}
+            for k, v in batch.data.items():
+                s = sharding(k, v) if callable(sharding) else sharding
+                mesh = getattr(s, "mesh", None)
+                n_data = dict(getattr(mesh, "shape", {})).get("data", 1)
+                if v.shape[0] % max(1, n_data):
+                    # tail batches that don't divide the mesh axis fall
+                    # back to plain placement (shard_batch replicates them)
+                    data[k] = jax.device_put(v)
+                else:
+                    data[k] = jax.device_put(v, s)
         return SegmentData(data=data, segments=batch.segments)
 
     q: "queue.Queue" = queue.Queue(maxsize=size)

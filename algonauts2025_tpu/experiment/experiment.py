@@ -171,10 +171,8 @@ class Experiment(pydantic.BaseModel):
         metrics = {}
         for split in ["val", "test"]:
             for mc in self.metrics:
-                if mc.name == "MultidimPearsonCorrCoef":
-                    mc = mc.model_copy(
-                        update={"kwargs": {**mc.kwargs, "num_outputs": n_outputs}}
-                    )
+                # (MultidimPearsonCorrCoef infers the voxel dim from its
+                # first update; no num_outputs plumbing needed)
                 metrics[f"{split}/{mc.log_name}"] = build_metric(mc, n_groups=n_subjects)
 
         mesh = self._mesh()
@@ -210,6 +208,11 @@ class Experiment(pydantic.BaseModel):
         steps_per_epoch = (
             max(1, -(-len(train_ds) // batch_size)) if train_ds is not None else 1
         )
+        if self.limit_train_batches is not None:
+            # the LR schedule and step-based SWA annealing must count the
+            # steps that actually run (reference: Lightning's
+            # estimated_stepping_batches honors limit_train_batches)
+            steps_per_epoch = min(steps_per_epoch, self.limit_train_batches)
         total_steps = self.n_epochs * steps_per_epoch
         trainer.init_state(probe_batch, total_steps=total_steps)
 
@@ -220,8 +223,14 @@ class Experiment(pydantic.BaseModel):
         start_epoch = 0
         ckpt = self._get_checkpoint_path()
         if ckpt is not None:
+            # explicit warm starts fail LOUDLY on an unloadable checkpoint
+            # (silently training from random init would masquerade as a
+            # warm-started run); only the automatic last.ckpt resume is
+            # tolerant of e.g. a checkpoint torn by a crash
             start_epoch = trainer.load_checkpoint(
-                ckpt, strict=False, params_only=bool(self.checkpoint_path)
+                ckpt,
+                strict=bool(self.checkpoint_path),
+                params_only=bool(self.checkpoint_path),
             )
             logger.info("Loaded checkpoint %s (next epoch %d)", ckpt, start_epoch)
 
@@ -230,16 +239,18 @@ class Experiment(pydantic.BaseModel):
 
         def train_loader(epoch: int):
             assert train_ds is not None
-            if epoch > 0:
-                jitter = float(rng.uniform(-1, 1) * START_JITTER_SECONDS)
-                self.data.recut_segments(train_ds, train_events, jitter)
+            # every epoch gets fresh jittered windows, epoch 0 included
+            # (reference JitterWindows.on_train_epoch_start, callbacks.py:25)
+            jitter = float(rng.uniform(-1, 1) * START_JITTER_SECONDS)
+            self.data.recut_segments(train_ds, train_events, jitter)
             return prefetch_to_device(
                 train_ds.batches(
                     batch_size=batch_size,
                     shuffle=True,
                     seed=(self.seed or 0) + epoch,
                     num_workers=num_workers,
-                )
+                ),
+                sharding=trainer.batch_sharding,
             )
 
         def val_loader():
@@ -251,19 +262,9 @@ class Experiment(pydantic.BaseModel):
                 from ..utils.profiling import trace
 
                 with trace(Path(self.infra.folder) / "profile"):
-                    trainer.fit(
-                        train_loader,
-                        val_loader,
-                        steps_per_epoch=steps_per_epoch,
-                        start_epoch=start_epoch,
-                    )
+                    trainer.fit(train_loader, val_loader, start_epoch=start_epoch)
             else:
-                trainer.fit(
-                    train_loader,
-                    val_loader,
-                    steps_per_epoch=steps_per_epoch,
-                    start_epoch=start_epoch,
-                )
+                trainer.fit(train_loader, val_loader, start_epoch=start_epoch)
 
         results: dict[str, float] = {}
         if val_ds is not None:

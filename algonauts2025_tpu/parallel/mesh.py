@@ -95,12 +95,18 @@ def shard_batch(
     replicated (eval-tail batches) — correctness over peak efficiency.
     """
     if mesh is None:
-        return {k: jax.device_put(v) for k, v in batch_data.items()}
+        return {
+            k: v if isinstance(v, jax.Array) else jax.device_put(v)
+            for k, v in batch_data.items()
+        }
     n_data = mesh.shape["data"]
+    target = batch_sharding(mesh)
     out = {}
     for k, v in batch_data.items():
-        if v.shape[0] % n_data == 0:
-            out[k] = jax.device_put(v, batch_sharding(mesh))
+        if isinstance(v, jax.Array) and getattr(v, "sharding", None) == target:
+            out[k] = v  # already prefetched with the right sharding
+        elif v.shape[0] % n_data == 0:
+            out[k] = jax.device_put(v, target)
         else:
             out[k] = jax.device_put(v, replicated(mesh))
     return out

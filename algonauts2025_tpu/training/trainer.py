@@ -19,6 +19,7 @@ Trainer wiring in main.py:357-414) with a functional JAX loop:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 import typing as tp
@@ -44,6 +45,15 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: tp.Any
     opt_state: tp.Any
+
+
+@functools.partial(jax.jit, static_argnames=("n_rep",))
+def _jit_groups(subject_ids, n_rep):
+    """(B, 1) ids -> flat segment groups and per-voxel-row groups in one
+    jitted dispatch (eager per-batch device ops are pathologically slow
+    on remotely attached chips)."""
+    seg = subject_ids.reshape(-1)
+    return seg, jnp.repeat(seg, n_rep)
 
 
 @jax.jit
@@ -107,6 +117,18 @@ class BrainTrainer:
         self._logger: tp.Any = None
         self._swa_params: tp.Any = None
         self._swa_count: int = 0
+        self._best: float | None = None  # monitor state, persisted in ckpts
+        self._bad_epochs: int = 0
+
+    @property
+    def batch_sharding(self):
+        """NamedSharding for input batches (None off-mesh): loaders that
+        prefetch with it avoid a second full-batch placement per step."""
+        if self.mesh is None:
+            return None
+        from ..parallel.mesh import batch_sharding
+
+        return batch_sharding(self.mesh)
 
     # -- initialization ---------------------------------------------------
     def init_state(self, example_batch: SegmentData, total_steps: int) -> TrainState:
@@ -244,7 +266,6 @@ class BrainTrainer:
         self,
         train_loader_fn: tp.Callable[[int], tp.Iterable[SegmentData]],
         val_loader_fn: tp.Callable[[], tp.Iterable[SegmentData]],
-        steps_per_epoch: int,
         start_epoch: int = 0,
     ) -> None:
         cfg = self.config
@@ -254,8 +275,13 @@ class BrainTrainer:
         rng = jax.random.PRNGKey(cfg.seed + 1)
         swa_start_epoch = int(cfg.n_epochs * cfg.swa_start)
 
-        best = -np.inf if cfg.monitor_mode == "max" else np.inf
-        bad_epochs = 0
+        # resumed runs continue the monitor/patience state from the
+        # checkpoint: a fresh best=-inf would let a worse post-resume
+        # epoch clobber best.ckpt (Lightning restores this state too)
+        best = self._best
+        if best is None:
+            best = -np.inf if cfg.monitor_mode == "max" else np.inf
+        bad_epochs = self._bad_epochs
         n_epochs = 1 if cfg.fast_dev_run else cfg.n_epochs
 
         for epoch in range(start_epoch, n_epochs):
@@ -315,6 +341,12 @@ class BrainTrainer:
                 record["epoch_seconds"],
             )
 
+            if not val_metrics:
+                raise RuntimeError(
+                    "validation produced no batches/metrics — an empty val "
+                    "split would silently disable best-checkpointing and "
+                    "let patience stop training"
+                )
             monitored = val_metrics.get(cfg.monitor)
             if monitored is None and val_metrics:
                 # a missing monitor key must be loud: treating it as "no
@@ -332,11 +364,15 @@ class BrainTrainer:
             if improved:
                 best = monitored
                 bad_epochs = 0
+                self._best, self._bad_epochs = best, bad_epochs
                 self.save_checkpoint("best")
             else:
                 bad_epochs += 1
+            self._best, self._bad_epochs = best, bad_epochs
             self.save_checkpoint("last", epoch=epoch)
-            if cfg.patience is not None and bad_epochs > cfg.patience:
+            # Lightning EarlyStopping stops after `patience` consecutive
+            # non-improving validations (wait_count >= patience)
+            if cfg.patience is not None and bad_epochs >= cfg.patience:
                 logger.info("Early stopping at epoch %d", epoch)
                 break
 
@@ -375,9 +411,17 @@ class BrainTrainer:
             subject_ids = data.get("subject_id")
             voxel_groups = None
             segment_groups = None
-            if subject_ids is not None:
-                segment_groups = subject_ids.reshape(-1)
-                voxel_groups = jnp.repeat(segment_groups, y_pred.shape[2])
+            needs_groups = any(
+                m.needs_groups or m.is_retrieval
+                for name, m in self.metrics.items()
+                if name.startswith(split)
+            )
+            if subject_ids is not None and needs_groups:
+                # one jitted dispatch; eager reshape+repeat per batch cost
+                # round trips on remotely attached chips
+                segment_groups, voxel_groups = _jit_groups(
+                    subject_ids, y_pred.shape[2]
+                )
             retrieval_args = None  # time-means computed once per batch
             for name, metric in self.metrics.items():
                 if not name.startswith(split):
@@ -448,7 +492,9 @@ class BrainTrainer:
 
         with ocp.StandardCheckpointer() as ckptr:
             meta = {"epoch": epoch if epoch is not None else -1,
-                    "swa_count": self._swa_count}
+                    "swa_count": self._swa_count,
+                    "best": float(self._best) if self._best is not None else float("nan"),
+                    "bad_epochs": self._bad_epochs}
             payload = {"state": jax.device_get(self.state), "meta": meta}
             if self._swa_params is not None:
                 payload["swa_params"] = self._swa_params
@@ -470,7 +516,12 @@ class BrainTrainer:
         assert self.state is not None, "init_state before load_checkpoint"
         template = {
             "state": jax.device_get(self.state),
-            "meta": {"epoch": -1, "swa_count": 0},
+            "meta": {
+                "epoch": -1,
+                "swa_count": 0,
+                "best": float("nan"),
+                "bad_epochs": 0,
+            },
         }
         with ocp.StandardCheckpointer() as ckptr:
             try:
@@ -506,4 +557,7 @@ class BrainTrainer:
         if "swa_params" in restored:
             self._swa_params = restored["swa_params"]
         self._swa_count = int(restored["meta"].get("swa_count", 0))
+        restored_best = float(restored["meta"].get("best", float("nan")))
+        self._best = None if np.isnan(restored_best) else restored_best
+        self._bad_epochs = int(restored["meta"].get("bad_epochs", 0))
         return int(restored["meta"]["epoch"]) + 1

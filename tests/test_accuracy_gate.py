@@ -26,8 +26,12 @@ from algonauts2025_tpu.experiment import Experiment
 # bit-identical across processes and PYTHONHASHSEED values.  A failure
 # here means a numeric change somewhere in the pipeline — re-derive the
 # golden ONLY after explaining the change.
-GOLDEN_VAL_PEARSON = -0.012823620811104774
-GOLDEN_TRAIN_LOSS = 0.5405493974685669
+# 2026-08-17: re-goldened for the epoch-0 jitter fix — the reference
+# JitterWindows re-cuts windows on EVERY train epoch start including the
+# first (callbacks.py:25); the old loader skipped epoch 0, so all epoch-0
+# windows were unjittered and the whole training trajectory differed.
+GOLDEN_VAL_PEARSON = -0.012768315151333809
+GOLDEN_TRAIN_LOSS = 0.5194104909896851
 
 
 def test_val_pearson_golden_regression(tmp_path):

@@ -319,7 +319,7 @@ def test_trainer_end_to_end(tmp_path):
         ),
     )
     trainer.init_state(batches[0], total_steps=25 * len(batches))
-    trainer.fit(lambda epoch: iter(batches), lambda: iter(val), steps_per_epoch=len(batches))
+    trainer.fit(lambda epoch: iter(batches), lambda: iter(val))
     final = trainer.history[-1]
     assert final["val/pearson"] > 0.5, trainer.history
     # checkpoints saved and reloadable

@@ -55,7 +55,7 @@ def test_mesh_training(model_parallel):
         w = trainer.state.params["predictor"]["weights"]
         spec = w.sharding.spec
         assert "model" in str(spec), spec
-    trainer.fit(lambda e: iter([batch]), lambda: iter([batch]), steps_per_epoch=1)
+    trainer.fit(lambda e: iter([batch]), lambda: iter([batch]))
     assert np.isfinite(trainer.history[-1]["train/loss"])
     assert np.isfinite(trainer.history[-1]["val/pearson"])
 

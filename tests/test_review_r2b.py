@@ -126,7 +126,7 @@ def test_monitor_key_missing_raises(tmp_path, rng):
     )
     trainer.init_state(batch, total_steps=2)
     with pytest.raises(KeyError, match="definitely_missing"):
-        trainer.fit(lambda epoch: [batch], lambda: [batch], steps_per_epoch=2)
+        trainer.fit(lambda epoch: [batch], lambda: [batch])
 
 
 def test_nested_uid_exclusions_apply():
