@@ -103,6 +103,44 @@ def soft_margin_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.mean(jnp.log1p(jnp.exp(-target * pred)))
 
 
+def nll_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """torch.nn.NLLLoss: pred is (N, C) log-probabilities.  Integer targets
+    select a class per row (torch semantics); float targets of pred's shape
+    are treated as soft class weights (documented extension — torch NLLLoss
+    rejects them, but fMRI-shaped targets would crash torch here too)."""
+    if jnp.issubdtype(target.dtype, jnp.integer):
+        picked = jnp.take_along_axis(pred, target[:, None], axis=-1)[:, 0]
+        return -jnp.mean(picked)
+    return -jnp.mean(jnp.sum(target * pred, axis=-1))
+
+
+def margin_ranking_loss(
+    x1: jax.Array, x2: jax.Array, target: jax.Array, margin: float = 0.0
+) -> jax.Array:
+    """torch.nn.MarginRankingLoss — inherently three-argument
+    (input1, input2, target); the built callable keeps torch's signature, so
+    like the reference's auto-wrap (losses/base.py:43-59) it validates in
+    config but cannot be driven by the two-argument trainer step."""
+    return jnp.mean(jnp.maximum(0.0, -target * (x1 - x2) + margin))
+
+
+def hinge_embedding_loss(
+    pred: jax.Array, target: jax.Array, margin: float = 1.0
+) -> jax.Array:
+    """torch.nn.HingeEmbeddingLoss: x where y==1, max(0, margin-x) where y==-1."""
+    return jnp.mean(
+        jnp.where(target > 0, pred, jnp.maximum(0.0, margin - pred))
+    )
+
+
+def multilabel_soft_margin_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """torch.nn.MultiLabelSoftMarginLoss: per-class sigmoid BCE on logits,
+    mean over classes then over rows."""
+    # log sigmoid(x) = -softplus(-x); log sigmoid(-x) = -softplus(x)
+    per_class = target * jax.nn.softplus(-pred) + (1 - target) * jax.nn.softplus(pred)
+    return jnp.mean(jnp.mean(per_class, axis=-1))
+
+
 _TORCH_STYLE_LOSSES: dict[str, tp.Callable[..., LossFn]] = {
     "MSELoss": lambda **kw: mse_loss,
     "L1Loss": lambda **kw: l1_loss,
@@ -120,6 +158,14 @@ _TORCH_STYLE_LOSSES: dict[str, tp.Callable[..., LossFn]] = {
     ),
     "CrossEntropyLoss": lambda **kw: cross_entropy_loss,
     "SoftMarginLoss": lambda **kw: soft_margin_loss,
+    "NLLLoss": lambda **kw: nll_loss,
+    "MarginRankingLoss": lambda margin=0.0, **kw: (
+        lambda x1, x2, t: margin_ranking_loss(x1, x2, t, margin=margin)
+    ),
+    "HingeEmbeddingLoss": lambda margin=1.0, **kw: (
+        lambda p, t: hinge_embedding_loss(p, t, margin=margin)
+    ),
+    "MultiLabelSoftMarginLoss": lambda **kw: multilabel_soft_margin_loss,
 }
 
 
@@ -167,5 +213,12 @@ LossConfig = tp.Annotated[
 def build_loss(config: tp.Any) -> LossFn:
     if isinstance(config, BaseLossConfig):
         return config.build()
+    if isinstance(config, dict) and "name" in config:
+        known = sorted(_TORCH_STYLE_LOSSES) + ["PearsonLoss"]
+        if config["name"] not in known:
+            raise ValueError(
+                f"unknown loss {config['name']!r}; supported losses: "
+                + ", ".join(known)
+            )
     adapter = pydantic.TypeAdapter(LossConfig)
     return adapter.validate_python(config).build()

@@ -11,6 +11,7 @@ DDP-broken retrieval metric, main.py:255-258).
 from __future__ import annotations
 
 import typing as tp
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,7 @@ from ..ops.pearson import (
 
 __all__ = [
     "Metric",
+    "MetricNeverUpdated",
     "MultidimPearsonCorrCoef",
     "GroupedPearson",
     "GroupedMetric",
@@ -34,6 +36,14 @@ __all__ = [
     "MetricConfig",
     "build_metric",
 ]
+
+
+class MetricNeverUpdated(RuntimeError):
+    """compute() was called on a metric that received no update() calls.
+
+    The trainer skips exactly this case when a split is empty; any other
+    failure inside compute() propagates (a broken metric must not be
+    silently indistinguishable from an empty split)."""
 
 
 class Metric:
@@ -82,7 +92,8 @@ class MultidimPearsonCorrCoef(Metric):
         self._state = _jit_update(self._state, preds, target)
 
     def compute(self) -> float:
-        assert self._state is not None, "update() must run before compute()"
+        if self._state is None:
+            raise MetricNeverUpdated("update() must run before compute()")
         return float(jnp.nanmean(compute_pearson(self._state)))
 
     def per_voxel(self) -> np.ndarray:
@@ -127,7 +138,8 @@ class GroupedPearson(Metric):
         self._state = _jit_grouped_update(self._state, preds, target, groups, self.n_groups)
 
     def compute(self) -> dict[str, float]:
-        assert self._state is not None
+        if self._state is None:
+            raise MetricNeverUpdated("update() must run before compute()")
         out: dict[str, float] = {}
         r = compute_pearson(
             PearsonState(
@@ -142,7 +154,20 @@ class GroupedPearson(Metric):
         counts = np.asarray(self._state.n)
         r = np.asarray(r)
         for g in range(self.n_groups):
-            if counts[g] > 1:
+            if counts[g] == 0:
+                continue  # group id never present in this split
+            if counts[g] <= 1:
+                # Pearson is undefined on one row; emitting NaN (with a
+                # warning) keeps the group visible instead of silently
+                # vanishing from val/subj_pearson/*.
+                warnings.warn(
+                    f"GroupedPearson: group {g} has only {int(counts[g])} "
+                    "row(s); Pearson undefined, emitting NaN",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                out[str(g)] = float("nan")
+            else:
                 out[str(g)] = float(np.nanmean(r[g]))
         return out
 
@@ -197,6 +222,8 @@ class GroupedMetric(Metric):
             member.update(preds[keep], target[keep])
 
     def compute(self) -> dict[str, tp.Any]:
+        if not self._members:
+            raise MetricNeverUpdated("update() must run before compute()")
         return {str(g): m.compute() for g, m in sorted(self._members.items())}
 
 
@@ -234,6 +261,8 @@ class Rank(Metric):
         self._ranks.append(np.asarray(ranks))
 
     def compute(self) -> float:
+        if not self._ranks:
+            raise MetricNeverUpdated("update() must run before compute()")
         ranks = np.concatenate(self._ranks)
         agg = {"mean": np.mean, "median": np.median, "std": np.std}[self.reduction]
         return float(agg(ranks))
@@ -247,6 +276,8 @@ class TopkAcc(Rank):
         self.topk = topk
 
     def compute(self) -> float:
+        if not self._ranks:
+            raise MetricNeverUpdated("update() must run before compute()")
         ranks = np.concatenate(self._ranks)
         return float((ranks < self.topk).mean())
 
@@ -344,7 +375,8 @@ class OnlinePearsonCorr(MultidimPearsonCorrCoef):
         super().update(preds, target)
 
     def compute(self):
-        assert self._state is not None, "update() must run before compute()"
+        if self._state is None:
+            raise MetricNeverUpdated("update() must run before compute()")
         import jax.numpy as jnp
 
         from ..ops.pearson import compute_pearson

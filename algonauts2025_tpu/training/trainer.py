@@ -33,7 +33,7 @@ from flax import struct
 
 from ..data.dataset import SegmentData
 from ..parallel.mesh import shard_batch
-from .metrics import Metric
+from .metrics import Metric, MetricNeverUpdated
 from .optim import OptimConfig
 
 logger = logging.getLogger(__name__)
@@ -454,8 +454,9 @@ class BrainTrainer:
                 continue
             try:
                 value = metric.compute()
-            except (AssertionError, ValueError):
-                continue  # metric never updated (empty split)
+            except MetricNeverUpdated:
+                continue  # metric never updated (empty split); any other
+                # compute failure propagates — a broken metric must be loud
             if isinstance(value, dict):
                 for k, v in value.items():
                     out[f"{name}/{k}"] = v
