@@ -56,27 +56,34 @@ class _QDense(nn.Module):
 
     ``static_scale=True`` uses the calibrated per-matmul activation scale
     ``a_scale`` (set by ``calibrate_quant_scales``) instead of dynamic
-    per-row maxima — removing the memory-bound max pass recovers most of
-    the int8 MXU rate (scripts/bench_int8.py).  Every call sows the input
-    absmax into the ``quant_stats`` collection when it is mutable, which
-    is how calibration observes activations.
+    per-row maxima; on TPU that path runs as a fused Pallas kernel that
+    quantizes in-register (no HBM-visible int8 activations).  Every call
+    sows the input absmax into the ``quant_stats`` collection when it is
+    mutable, which is how calibration observes activations.  Setup-style
+    (explicit ``in_features``) so a parent block can reach the params for
+    cross-matmul fusion (``int8_mlp_fused``).
     """
 
+    in_features: int
     features: int
     use_bias: bool = True
     static_scale: bool = False
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        from ...ops.quant import int8_matmul
-
-        kernel_q = self.param("kernel_q", _int8_init, (x.shape[-1], self.features))
-        scale = self.param(
+    def setup(self):
+        self.kernel_q = self.param(
+            "kernel_q", _int8_init, (self.in_features, self.features)
+        )
+        self.scale = self.param(
             "scale", nn.initializers.constant(0.01), (self.features,), jnp.float32
         )
-        a_scale = self.param(
-            "a_scale", nn.initializers.zeros, (), jnp.float32
-        )
+        self.a_scale = self.param("a_scale", nn.initializers.zeros, (), jnp.float32)
+        if self.use_bias:
+            self.bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+
+    def observe(self, x: jax.Array) -> None:
+        """Sow the input absmax for calibrate_quant_scales."""
         if self.is_mutable_collection("quant_stats"):
             self.sow(
                 "quant_stats",
@@ -85,23 +92,47 @@ class _QDense(nn.Module):
                 init_fn=lambda: jnp.zeros((), jnp.float32),
                 reduce_fn=jnp.maximum,
             )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ...ops.quant import int8_matmul, int8_matmul_fused
+
+        self.observe(x)
+        calibrated = self.static_scale and not self.is_mutable_collection(
+            "quant_stats"
+        )
+        if calibrated and jax.default_backend() == "tpu":
+            return int8_matmul_fused(
+                x,
+                self.kernel_q,
+                self.scale,
+                self.a_scale,
+                bias=self.bias if self.use_bias else None,
+                out_dtype=x.dtype,
+            )
+        # during a calibration pass (mutable quant_stats) a_scale may still
+        # be 0 — always quantize dynamically there so downstream layers see
+        # sane activations while their absmax is being observed
         y = int8_matmul(
-            x, kernel_q, scale, x_scale=a_scale if self.static_scale else None
+            x,
+            self.kernel_q,
+            self.scale,
+            x_scale=self.a_scale if calibrated else None,
         )
         if self.use_bias:
-            bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
-            )
-            y = y + bias
+            y = y + self.bias
         return y.astype(x.dtype)
 
 
 def _dense_factory(cfg: "VJEPA2Config"):
-    def dense(name: str, features: int | None = None, bias: bool = True):
+    def dense(name: str, features: int | None = None, bias: bool = True, in_features: int | None = None):
         features = cfg.hidden_size if features is None else features
         if cfg.quantize:
             return _QDense(
-                features, use_bias=bias, static_scale=cfg.quant_static, name=name
+                in_features or cfg.hidden_size,
+                features,
+                use_bias=bias,
+                static_scale=cfg.quant_static,
+                name=name,
             )
         return nn.Dense(
             features, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.dtype, name=name
@@ -213,10 +244,37 @@ class VJEPA2Block(nn.Module):
         )
         x = x + VJEPA2Attention(cfg, name="attn")(ln("norm1")(x), rope)
         dense = _dense_factory(cfg)
+        mlp_dim = int(cfg.hidden_size * cfg.mlp_ratio)
+        fc1 = dense("fc1", mlp_dim)
+        fc2 = dense("fc2", cfg.hidden_size, in_features=mlp_dim)
         h = ln("norm2")(x)
-        h = dense("fc1", int(cfg.hidden_size * cfg.mlp_ratio))(h)
-        h = nn.gelu(h, approximate=False)
-        h = dense("fc2", cfg.hidden_size)(h)
+        fused_ok = (
+            cfg.quantize
+            and cfg.quant_static
+            and jax.default_backend() == "tpu"
+            and not self.is_mutable_collection("quant_stats")
+        )
+        if fused_ok:
+            # whole-MLP Pallas kernel: the (N, mlp_dim) hidden activations
+            # and both quant passes never touch HBM (ops/quant.py)
+            from ...ops.quant import int8_mlp_fused
+
+            h = int8_mlp_fused(
+                h,
+                fc1.kernel_q,
+                fc1.scale,
+                fc1.bias,
+                fc2.kernel_q,
+                fc2.scale,
+                fc2.bias,
+                fc1.a_scale,
+                fc2.a_scale,
+                out_dtype=h.dtype,
+            )
+        else:
+            h = fc1(h)
+            h = nn.gelu(h, approximate=False)
+            h = fc2(h)
         x = x + h
         if self.token_pool:
             # emit only the token mean: saves a (T, D) fp32 HBM write per

@@ -12,6 +12,8 @@ feature is OFF by default and part of the cache identity.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +21,8 @@ import numpy as np
 __all__ = [
     "quantize_weight",
     "int8_matmul",
+    "int8_matmul_fused",
+    "int8_mlp_fused",
     "QuantDense",
     "calibrate_quant_scales",
 ]
@@ -61,6 +65,255 @@ def int8_matmul(
     )
     out = acc.astype(jnp.float32) * sx * w_scale[None]
     return out.reshape(lead + (w_q.shape[-1],))
+
+
+def _largest_tile_divisor(n: int, cap: int) -> int:
+    """Largest multiple-of-128 divisor of ``n`` that is <= cap (0 if none)."""
+    best = 0
+    for d in range(128, min(n, cap) + 1, 128):
+        if n % d == 0:
+            best = d
+    return best
+
+
+def _fused_w8a8_kernel(sx_ref, x_ref, w_ref, wsc_ref, bias_ref, out_ref, acc_ref):
+    """One (bm, bn) output tile: quantize the bf16 activation block with the
+    static scale in-register, int8 MXU matmul into an int32 accumulator,
+    dequantize + bias on the way out.  Nothing int8/int32 ever reaches HBM,
+    which is what made the XLA-level w8a8 path measure neutral
+    (BENCH_NOTES.md round 2: quant/dequant passes don't fuse under the
+    layer scan)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # true division, not reciprocal-multiply: matches int8_matmul's
+    # quantization bit-for-bit (reciprocal flips ~1e-3 of boundary rounds)
+    xq = jnp.clip(
+        jnp.round(x_ref[:].astype(jnp.float32) / sx_ref[0]), -127.0, 127.0
+    ).astype(jnp.int8)
+    acc_ref[:] += jax.lax.dot_general(
+        xq, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        scale = sx_ref[0] * wsc_ref[0, :]
+        out = acc_ref[:].astype(jnp.float32) * scale[None, :] + bias_ref[0, :][None, :]
+        out_ref[:] = out.astype(out_ref.dtype)
+
+
+def int8_matmul_fused(
+    x: jax.Array,
+    w_q: jax.Array,
+    w_scale: jax.Array,
+    x_scale: jax.Array,
+    bias: jax.Array | None = None,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused w8a8 matmul: bf16 x (..., K) @ int8 w (K, N) -> out_dtype.
+
+    ``x_scale`` must be a calibrated static scalar (calibrate_quant_scales);
+    the kernel quantizes activations in-register, so unlike ``int8_matmul``
+    there is no HBM round trip for the int8 activations or the int32
+    accumulator.  Matches the unfused path bit-for-bit (same round/clip,
+    same int32 accumulation, fp32 dequant)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lead = x.shape[:-1]
+    kdim = x.shape[-1]
+    n = w_q.shape[-1]
+    xf = x.reshape(-1, kdim)
+    m = xf.shape[0]
+
+    bm = 512
+    bn = n if n <= 2048 else _largest_tile_divisor(n, 2048) or 2048
+    bk = kdim if kdim <= 2048 else _largest_tile_divisor(kdim, 2048) or 2048
+
+    mp = -(-m // bm) * bm
+    np_ = -(-n // bn) * bn
+    kp = -(-kdim // bk) * bk
+    if mp != m:
+        xf = jnp.pad(xf, ((0, mp - m), (0, 0)))
+    if kp != kdim:
+        # zero-padded x columns quantize to 0 and contribute nothing
+        xf = jnp.pad(xf, ((0, 0), (0, kp - kdim)))
+        w_q = jnp.pad(w_q, ((0, kp - kdim), (0, 0)))
+    if np_ != n:
+        w_q = jnp.pad(w_q, ((0, 0), (0, np_ - n)))
+        w_scale = jnp.pad(w_scale, (0, np_ - n))
+        if bias is not None:
+            bias = jnp.pad(bias, (0, np_ - n))
+    if bias is None:
+        bias = jnp.zeros((np_,), jnp.float32)
+
+    sx = jnp.maximum(jnp.asarray(x_scale, jnp.float32), 1e-12).reshape(1)
+    grid = (mp // bm, np_ // bn, kp // bk)
+    out = pl.pallas_call(
+        _fused_w8a8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        sx,
+        xf,
+        w_q,
+        w_scale.astype(jnp.float32).reshape(1, np_),
+        bias.astype(jnp.float32).reshape(1, np_),
+    )
+    return out[:m, :n].reshape(lead + (n,))
+
+
+def _gelu_erf_approx(x):
+    """Exact-form gelu with an in-kernel erf: Mosaic has no erf/erfc
+    lowering, so we use Abramowitz–Stegun 7.1.26 (max |err| 1.5e-7 —
+    ~5 orders below the int8 quantization noise floor)."""
+    import jax.numpy as jnp
+
+    z = x * 0.7071067811865476
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    erf_abs = 1.0 - poly * jnp.exp(-a * a)
+    erf = jnp.sign(z) * erf_abs
+    return 0.5 * x * (1.0 + erf)
+
+
+def _fused_mlp_kernel(
+    sc_ref, x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, out_ref,
+    fchunk: int,
+):
+    """Whole transformer MLP (fc1 -> gelu -> fc2) on one (bm, K) row tile.
+
+    Both int8 weight matrices stay VMEM-resident across the M grid; the
+    (bm, F) hidden activations live only in registers/VMEM — dequant, gelu
+    and requant happen in-flight per F chunk, so the HBM traffic is exactly
+    x in + out out.  This is what the XLA-level int8 path could never do:
+    its gelu pass alone costs ~1 ms/layer of HBM bandwidth at ViT-G shapes."""
+    import jax.numpy as jnp
+
+    sx = sc_ref[0]
+    sh = sc_ref[1]
+    xq = jnp.clip(
+        jnp.round(x_ref[:].astype(jnp.float32) / sx), -127.0, 127.0
+    ).astype(jnp.int8)
+    f = w1_ref.shape[1]
+    acc2 = None
+    for c in range(f // fchunk):
+        sl = slice(c * fchunk, (c + 1) * fchunk)
+        acc = jax.lax.dot_general(
+            xq, w1_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        h = acc.astype(jnp.float32) * (sx * s1_ref[0, sl])[None, :]
+        h = h + b1_ref[0, sl][None, :]
+        h = _gelu_erf_approx(h)
+        hq = jnp.clip(jnp.round(h / sh), -127.0, 127.0).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            hq, w2_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc2 = part if acc2 is None else acc2 + part
+    out = acc2.astype(jnp.float32) * (sh * s2_ref[0, :])[None, :]
+    out = out + b2_ref[0, :][None, :]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def int8_mlp_fused(
+    x: jax.Array,
+    w1_q: jax.Array,
+    w1_scale: jax.Array,
+    b1: jax.Array,
+    w2_q: jax.Array,
+    w2_scale: jax.Array,
+    b2: jax.Array,
+    x_scale: jax.Array,
+    h_scale: jax.Array,
+    bm: int = 512,
+    fchunk: int = 2048,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused w8a8 MLP: gelu(x @ w1 + b1) @ w2 + b2, all quant in-kernel.
+
+    ``x_scale``/``h_scale`` are calibrated static activation scales (input
+    and post-gelu hidden respectively).  Requires F % fchunk == 0 after
+    internal fchunk shrink; K and F must be multiples of 128."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lead = x.shape[:-1]
+    kdim = x.shape[-1]
+    f = w1_q.shape[-1]
+    while f % fchunk:
+        fchunk //= 2
+    xf = x.reshape(-1, kdim)
+    m = xf.shape[0]
+    mp = -(-m // bm) * bm
+    if mp != m:
+        xf = jnp.pad(xf, ((0, mp - m), (0, 0)))
+
+    sc = jnp.stack(
+        [
+            jnp.maximum(jnp.asarray(x_scale, jnp.float32), 1e-12),
+            jnp.maximum(jnp.asarray(h_scale, jnp.float32), 1e-12),
+        ]
+    )
+    whole = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_fused_mlp_kernel, fchunk=fchunk),
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, kdim), lambda i: (i, 0)),
+            whole(kdim, f),
+            whole(1, f),
+            whole(1, f),
+            whole(f, kdim),
+            whole(1, kdim),
+            whole(1, kdim),
+        ],
+        out_specs=pl.BlockSpec((bm, kdim), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((mp, kdim), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        sc,
+        xf,
+        w1_q,
+        w1_scale.astype(jnp.float32).reshape(1, f),
+        b1.astype(jnp.float32).reshape(1, f),
+        w2_q,
+        w2_scale.astype(jnp.float32).reshape(1, kdim),
+        b2.astype(jnp.float32).reshape(1, kdim),
+    )
+    return out[:m].reshape(lead + (kdim,))
 
 
 class QuantDense:

@@ -140,3 +140,60 @@ def test_video_feature_static_quant_end_to_end(tmp_path):
         np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
     )
     assert cos.min() > 0.98, cos.min()
+
+
+def test_fused_matmul_matches_unfused(rng):
+    """int8_matmul_fused (interpret mode) must reproduce int8_matmul's
+    static-scale results exactly: same round/clip, same int32 accumulation."""
+    from algonauts2025_tpu.ops.quant import int8_matmul_fused
+
+    for m, k, n in [(64, 256, 128), (130, 384, 640)]:
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+        w_q, w_scale = quantize_weight(w)
+        bias = jnp.asarray(rng.standard_normal((n,)).astype(np.float32))
+        sx = jnp.float32(np.abs(np.asarray(x, np.float32)).max() / 127.0)
+        ref = np.asarray(int8_matmul(x, w_q, w_scale, x_scale=sx) + bias)
+        got = np.asarray(
+            int8_matmul_fused(
+                x, w_q, w_scale, sx, bias=bias, out_dtype=jnp.float32, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=5e-6 * np.abs(ref).max())
+
+
+def test_fused_mlp_matches_unfused_chain(rng):
+    """int8_mlp_fused == fc1 -> exact gelu -> fc2 with the same quant
+    decisions (f32 hidden, static scales)."""
+    from algonauts2025_tpu.ops.quant import int8_mlp_fused
+
+    m, k, f = 96, 256, 512
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)).astype(jnp.bfloat16)
+    w1q, s1 = quantize_weight(rng.standard_normal((k, f)).astype(np.float32) * 0.05)
+    w2q, s2 = quantize_weight(rng.standard_normal((f, k)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.standard_normal((f,)).astype(np.float32)) * 0.1
+    b2 = jnp.asarray(rng.standard_normal((k,)).astype(np.float32)) * 0.1
+    sx = jnp.float32(np.abs(np.asarray(x, np.float32)).max() / 127.0)
+    h = int8_matmul(x, w1q, s1, x_scale=sx) + b1
+    h = jax.nn.gelu(h, approximate=False)
+    sh = jnp.float32(np.abs(np.asarray(h)).max() / 127.0)
+    ref = np.asarray(int8_matmul(h, w2q, s2, x_scale=sh) + b2)
+    got = np.asarray(
+        int8_mlp_fused(
+            x, w1q, s1, b1, w2q, s2, b2, sx, sh,
+            bm=128, fchunk=256, out_dtype=jnp.float32, interpret=True,
+        )
+    )
+    # the erf polynomial (1.5e-7 abs) + fp32 mul-order are the only deltas
+    np.testing.assert_allclose(got, ref, atol=1e-4 * np.abs(ref).max())
+
+
+def test_gelu_erf_approx_accuracy():
+    from algonauts2025_tpu.ops.quant import _gelu_erf_approx
+
+    x = jnp.linspace(-8, 8, 4097, dtype=jnp.float32)
+    ref = np.asarray(jax.nn.gelu(x, approximate=False))
+    got = np.asarray(_gelu_erf_approx(x))
+    assert np.abs(got - ref).max() < 2e-6
