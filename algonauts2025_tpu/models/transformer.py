@@ -80,7 +80,9 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = nn.Dense(self.dim * self.mult)(x)
-        x = nn.gelu(x)
+        # exact gelu: x_transformers uses torch nn.GELU() (erf form); the
+        # flax default approximate=True diverges ~1e-3 per layer
+        x = nn.gelu(x, approximate=False)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return nn.Dense(self.dim)(x)
@@ -103,8 +105,10 @@ class EncoderBlock(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True,
                  mask: jax.Array | None = None) -> jax.Array:
         norm_cls = ScaleNorm if self.use_scalenorm else nn.LayerNorm
+        # per-dim residual gains: x_transformers Residual.residual_scale is
+        # nn.Parameter(torch.ones(dim)), not a scalar
         res_a = (
-            self.param("res_scale_attn", lambda _k: jnp.ones(()))
+            self.param("res_scale_attn", lambda _k: jnp.ones((self.dim,)))
             if self.scale_residual
             else 1.0
         )
@@ -121,7 +125,7 @@ class EncoderBlock(nn.Module):
         branch = checkpoint_name(branch, "attn_out")
         x = x * res_a + branch
         res_f = (
-            self.param("res_scale_ff", lambda _k: jnp.ones(()))
+            self.param("res_scale_ff", lambda _k: jnp.ones((self.dim,)))
             if self.scale_residual
             else 1.0
         )

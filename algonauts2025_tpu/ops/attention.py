@@ -32,8 +32,12 @@ def rotary_angles(seq_len: int, rot_dim: int, base: float = 10000.0) -> np.ndarr
 def apply_rotary(x: jax.Array, angles: jax.Array) -> jax.Array:
     """Rotate the leading ``2*angles.shape[-1]`` dims of the head axis.
 
-    x: (..., T, Dh); pairs are (x[2i], x[2i+1]) GPT-NeoX style interleave
-    on the first rot_dim dims, the remainder passes through.
+    x: (..., T, Dh); pairs are (x[2i], x[2i+1]) — the interleaved (GPT-J)
+    convention — on the first rot_dim dims, the remainder passes through.
+    x_transformers uses the half-split pairing (x[i], x[i+rot/2]) with the
+    same angles; for a trunk trained from scratch the two are equivalent up
+    to a fixed permutation of the learned q/k feature basis, proven exactly
+    by tests/test_trunk_oracle.py's permuted weight-transfer parity.
     """
     rot_dim = 2 * angles.shape[-1]
     x_rot, x_pass = x[..., :rot_dim], x[..., rot_dim:]

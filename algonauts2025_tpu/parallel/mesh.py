@@ -38,12 +38,22 @@ def init_distributed() -> None:
     No-op in single-process runs.  Uses the standard env contract
     (coordinator address + process count) that TPU pod launchers provide.
     """
-    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
         return  # single-process run
+    kwargs: dict = {}
+    # TPU pods auto-detect process count/id; generic launchers (and the
+    # two-process CPU test) provide them explicitly via env
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
     # NOTE: nothing may touch the XLA backend before initialize() — even
     # jax.process_count() would initialize it and make this call fail
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         if "already" in str(e):
             logger.info("jax.distributed already initialized")

@@ -30,8 +30,13 @@ from algonauts2025_tpu.experiment import Experiment
 # JitterWindows re-cuts windows on EVERY train epoch start including the
 # first (callbacks.py:25); the old loader skipped epoch 0, so all epoch-0
 # windows were unjittered and the whole training trajectory differed.
-GOLDEN_VAL_PEARSON = -0.012768315151333809
-GOLDEN_TRAIN_LOSS = 0.5194104909896851
+# 2026-08-17 (r3): re-goldened for two trunk parity fixes found by the
+# x_transformers oracle (tests/test_trunk_oracle.py): exact-erf gelu in the
+# FF (flax default is the tanh approximation; torch nn.GELU() is exact) and
+# per-dim residual-scale vectors (x_transformers Residual.residual_scale is
+# ones(dim), ours was a scalar).  Moved val/pearson by 3.6e-5.
+GOLDEN_VAL_PEARSON = -0.012804046273231506
+GOLDEN_TRAIN_LOSS = 0.5194171667098999
 
 
 def test_val_pearson_golden_regression(tmp_path):

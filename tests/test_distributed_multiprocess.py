@@ -1,0 +1,90 @@
+"""Two-process jax.distributed over a localhost coordinator (CPU).
+
+Round-2 VERDICT missing #5: ``parallel/mesh.py::init_distributed`` was the
+only never-executed code path.  This spawns two real processes, each with
+4 virtual CPU devices, initializes the coordinator, builds the global
+("data", "model") mesh over all 8 devices, and runs one jitted reduction
+over a process-sharded global array — the same wiring a TPU pod launcher
+would exercise (reference DDP equivalent: algonauts2025/main.py:388-394).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+from algonauts2025_tpu import runtime
+runtime.force_cpu_if_requested()
+from algonauts2025_tpu.parallel.mesh import get_mesh, init_distributed
+
+init_distributed()
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+mesh = get_mesh()
+assert mesh.devices.size == 8
+sharding = NamedSharding(mesh, P("data"))
+# each process contributes its own 8-row half of a 16-row global array
+local = (np.arange(8, dtype=np.float32) + 100.0 * jax.process_index()).reshape(8)
+arr = jax.make_array_from_process_local_data(sharding, local, global_shape=(16,))
+
+total = jax.jit(
+    lambda x: jnp.sum(x * 2.0), out_shardings=NamedSharding(mesh, P())
+)(arr)
+print("RESULT", float(jax.device_get(total)), flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_mesh_step(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER.format(repo=str(REPO)))
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(rank),
+        )
+        env.pop("JAX_PLATFORM_NAME", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"rank failed:\nstdout={out}\nstderr={err[-2000:]}"
+        outs.append(out)
+    # sum over both halves: 2 * (sum(0..7) + sum(100..107)) = 2 * (28 + 828)
+    expected = 2.0 * (sum(range(8)) + sum(range(100, 108)))
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][-1]
+        assert float(line.split()[1]) == pytest.approx(expected)
