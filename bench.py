@@ -36,6 +36,15 @@ A100_BASELINE_EST = 1.0  # stimulus-sec/sec/chip, documented estimate above
 
 # >= 1 s: below that the 2 Hz grid is empty and video warmup has no window
 STIM_SECONDS = max(1.0, float(os.environ.get("BENCH_STIM_SECONDS", 30.0)))
+# median of >=3 measured passes per stage: a single cold pass on a 1-core
+# host under-reported by up to 25% in round 2 (driver 1.259 vs notes 1.33)
+PASSES = max(1, int(os.environ.get("BENCH_PASSES", 3)))
+
+
+def median_pass(run) -> float:
+    """Median wall time of PASSES runs of ``run()`` (already warmed)."""
+    times = sorted(run() for _ in range(PASSES))
+    return times[len(times) // 2]
 WORDS_PER_SEC = 2.0
 CONTEXT_WORDS = 256  # typical running-context length mid-episode
 
@@ -60,7 +69,8 @@ def bench_text(words: list[str], contexts: list[str]) -> float:
     backbone = JaxTextBackbone(model, params, HashTokenizer(LLAMA_3P2_3B.vocab_size), 0)
 
     bs = 8
-    # warmup (compile) every context-length bucket that will occur
+    # warmup: compile every context-length bucket AND warm the host
+    # tokenizer path (the per-word id cache makes pass 1 the slow one)
     seen = set()
     for i in range(0, len(contexts), bs):
         ids, mask = backbone.encode(contexts[i : i + bs], 1024)
@@ -68,17 +78,27 @@ def bench_text(words: list[str], contexts: list[str]) -> float:
         if key not in seen:
             seen.add(key)
             backbone.pooled_states(ids, mask, np.ones(ids.shape[0], np.int32))
-    t0 = time.time()
-    for i in range(0, len(contexts), bs):
-        chunk = contexts[i : i + bs]
-        ids, mask = backbone.encode(chunk, 1024)
-        n_valid = mask.sum(axis=-1)
-        spans = np.array(
-            [max(1, min(len(w), int(n_valid[j]))) for j, w in enumerate(words[i : i + bs])],
-            dtype=np.int32,
-        )
-        backbone.pooled_states(ids, mask, spans)  # (L+1, B, D), pooled on device
-    dt = time.time() - t0
+
+    def one_pass() -> float:
+        t0 = time.time()
+        pending = None
+        for i in range(0, len(contexts), bs):
+            chunk = contexts[i : i + bs]
+            ids, mask = backbone.encode(chunk, 1024)
+            n_valid = mask.sum(axis=-1)
+            spans = np.array(
+                [max(1, min(len(w), int(n_valid[j]))) for j, w in enumerate(words[i : i + bs])],
+                dtype=np.int32,
+            )
+            out = backbone.pooled_states_async(ids, mask, spans)  # (L+1, B, D)
+            if pending is not None:
+                np.asarray(pending)
+            pending = out
+        if pending is not None:
+            np.asarray(pending)
+        return time.time() - t0
+
+    dt = median_pass(one_pass)
     del params, backbone
     gc.collect()
     return dt
@@ -113,9 +133,13 @@ def bench_audio(wav_path: Path) -> float:
         backbone.hidden_states_2hz(wav16, int(2 * info.duration))  # stays on device
 
     run()  # warmup/compile
-    t0 = time.time()
-    run()
-    dt = time.time() - t0
+
+    def one_pass() -> float:
+        t0 = time.time()
+        run()
+        return time.time() - t0
+
+    dt = median_pass(one_pass)
     del params, backbone
     gc.collect()
     return dt
@@ -167,29 +191,33 @@ def bench_video(video_path: Path) -> float:
     backbone.encode_windows(np.broadcast_to(first[None], (wb,) + first.shape).copy())
     clip.close()
 
-    clip = VideoClip(str(video_path))
-    t0 = time.time()
-    batch: list = []
-    pending: list = []  # two batches in flight (compute + H2D/D2H overlap)
+    def one_pass() -> float:
+        clip = VideoClip(str(video_path))
+        t0 = time.time()
+        batch: list = []
+        pending: list = []  # two batches in flight (compute + H2D/D2H overlap)
 
-    def submit(stack):
-        pending.append(backbone.encode_windows_async(stack))
-        while len(pending) > 2:
-            np.asarray(pending.pop(0))
+        def submit(stack):
+            pending.append(backbone.encode_windows_async(stack))
+            while len(pending) > 2:
+                np.asarray(pending.pop(0))
 
-    for window in clip.sliding_windows(times, 64, 4.0):
-        batch.append(window)
-        if len(batch) == wb:
+        for window in clip.sliding_windows(times, 64, 4.0):
+            batch.append(window)
+            if len(batch) == wb:
+                submit(np.stack(batch))
+                batch = []
+        if batch:
+            while len(batch) < wb:
+                batch.append(batch[-1])
             submit(np.stack(batch))
-            batch = []
-    if batch:
-        while len(batch) < wb:
-            batch.append(batch[-1])
-        submit(np.stack(batch))
-    while pending:
-        np.asarray(pending.pop(0))
-    dt = time.time() - t0
-    clip.close()
+        while pending:
+            np.asarray(pending.pop(0))
+        dt = time.time() - t0
+        clip.close()
+        return dt
+
+    dt = median_pass(one_pass)
     del params, backbone
     gc.collect()
     return dt
