@@ -141,6 +141,102 @@ def multilabel_soft_margin_loss(pred: jax.Array, target: jax.Array) -> jax.Array
     return jnp.mean(jnp.mean(per_class, axis=-1))
 
 
+def gaussian_nll_loss(
+    pred: jax.Array, target: jax.Array, var: jax.Array,
+    full: bool = False, eps: float = 1e-6,
+) -> jax.Array:
+    """torch.nn.GaussianNLLLoss (3-argument: input, target, var)."""
+    v = jnp.maximum(var, eps)
+    out = 0.5 * (jnp.log(v) + (pred - target) ** 2 / v)
+    if full:
+        out = out + 0.5 * jnp.log(jnp.asarray(2 * jnp.pi))
+    return jnp.mean(out)
+
+
+def cosine_embedding_loss(
+    x1: jax.Array, x2: jax.Array, target: jax.Array, margin: float = 0.0,
+    eps: float = 1e-8,
+) -> jax.Array:
+    """torch.nn.CosineEmbeddingLoss (3-argument)."""
+    cos = jnp.sum(x1 * x2, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(x1, axis=-1) * jnp.linalg.norm(x2, axis=-1), eps
+    )
+    per_row = jnp.where(target > 0, 1.0 - cos, jnp.maximum(0.0, cos - margin))
+    return jnp.mean(per_row)
+
+
+def triplet_margin_loss(
+    anchor: jax.Array, positive: jax.Array, negative: jax.Array,
+    margin: float = 1.0, p: float = 2.0, eps: float = 1e-6,
+) -> jax.Array:
+    """torch.nn.TripletMarginLoss — replicates F.pairwise_distance's
+    elementwise +eps quirk."""
+    dist = lambda a, b: jnp.sum(jnp.abs(a - b + eps) ** p, axis=-1) ** (1.0 / p)
+    return jnp.mean(
+        jnp.maximum(0.0, dist(anchor, positive) - dist(anchor, negative) + margin)
+    )
+
+
+def multi_margin_loss(
+    pred: jax.Array, target: jax.Array, p: float = 1.0, margin: float = 1.0
+) -> jax.Array:
+    """torch.nn.MultiMarginLoss: class-index targets over (N, C) scores."""
+    n, c = pred.shape
+    true_score = jnp.take_along_axis(pred, target[:, None].astype(jnp.int32), axis=-1)
+    viol = jnp.maximum(0.0, margin - true_score + pred) ** p
+    onehot = jax.nn.one_hot(target, c, dtype=bool)
+    return jnp.mean(jnp.sum(jnp.where(onehot, 0.0, viol), axis=-1) / c)
+
+
+def multilabel_margin_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """torch.nn.MultiLabelMarginLoss: int targets, -1-terminated per row."""
+    n, c = pred.shape
+    tgt = target.astype(jnp.int32)
+    # valid targets: everything before the first -1 in each row
+    stop = jnp.cumsum(tgt < 0, axis=-1) > 0
+    is_tgt_slot = ~stop
+    safe = jnp.where(is_tgt_slot, jnp.maximum(tgt, 0), 0)
+    tgt_mask = jnp.zeros((n, c), bool)
+    tgt_mask = jax.vmap(
+        lambda m, idx, valid: m.at[idx].max(valid)
+    )(tgt_mask, safe, is_tgt_slot)
+    # sum over (target j, non-target k) of max(0, 1 - (x[j] - x[k])) / C
+    xj = jnp.take_along_axis(pred, safe, axis=-1)  # (N, S) target scores
+    hinge = jnp.maximum(
+        0.0, 1.0 - (xj[:, :, None] - pred[:, None, :])
+    )  # (N, S, C)
+    valid = is_tgt_slot[:, :, None] & ~tgt_mask[:, None, :]
+    return jnp.mean(jnp.sum(jnp.where(valid, hinge, 0.0), axis=(1, 2)) / c)
+
+
+def ctc_loss(
+    log_probs: jax.Array,
+    targets: jax.Array,
+    input_lengths: jax.Array,
+    target_lengths: jax.Array,
+    blank: int = 0,
+    reduction: str = "mean",
+) -> jax.Array:
+    """torch.nn.CTCLoss semantics on (T, N, C) log-probs via optax's CTC.
+
+    torch's "mean" divides each sequence loss by its target length before
+    averaging."""
+    import optax
+
+    t, n, c = log_probs.shape
+    logits = jnp.transpose(log_probs, (1, 0, 2))  # (N, T, C)
+    steps = jnp.arange(t)[None, :]
+    logit_pad = (steps >= input_lengths[:, None]).astype(jnp.float32)
+    s = targets.shape[1]
+    label_pad = (jnp.arange(s)[None, :] >= target_lengths[:, None]).astype(jnp.float32)
+    per_seq = optax.ctc_loss(logits, logit_pad, targets, label_pad, blank_id=blank)
+    if reduction == "sum":
+        return jnp.sum(per_seq)
+    if reduction == "none":
+        return per_seq
+    return jnp.mean(per_seq / jnp.maximum(target_lengths, 1))
+
+
 _TORCH_STYLE_LOSSES: dict[str, tp.Callable[..., LossFn]] = {
     "MSELoss": lambda **kw: mse_loss,
     "L1Loss": lambda **kw: l1_loss,
@@ -166,6 +262,22 @@ _TORCH_STYLE_LOSSES: dict[str, tp.Callable[..., LossFn]] = {
         lambda p, t: hinge_embedding_loss(p, t, margin=margin)
     ),
     "MultiLabelSoftMarginLoss": lambda **kw: multilabel_soft_margin_loss,
+    "GaussianNLLLoss": lambda full=False, eps=1e-6, **kw: (
+        lambda p, t, v: gaussian_nll_loss(p, t, v, full=full, eps=eps)
+    ),
+    "CosineEmbeddingLoss": lambda margin=0.0, **kw: (
+        lambda a, b, t: cosine_embedding_loss(a, b, t, margin=margin)
+    ),
+    "TripletMarginLoss": lambda margin=1.0, p=2.0, **kw: (
+        lambda a, pos, neg: triplet_margin_loss(a, pos, neg, margin=margin, p=p)
+    ),
+    "MultiMarginLoss": lambda p=1.0, margin=1.0, **kw: (
+        lambda x, t: multi_margin_loss(x, t, p=p, margin=margin)
+    ),
+    "MultiLabelMarginLoss": lambda **kw: multilabel_margin_loss,
+    "CTCLoss": lambda blank=0, reduction="mean", **kw: (
+        lambda lp, t, il, tl: ctc_loss(lp, t, il, tl, blank=blank, reduction=reduction)
+    ),
 }
 
 

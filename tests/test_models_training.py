@@ -221,6 +221,78 @@ def test_unknown_loss_lists_supported():
         build_loss({"name": "NoSuchLoss"})
 
 
+def test_multiarg_losses_match_torch():
+    """The remaining torch auto-wrap losses (3/4-argument signatures kept,
+    as the reference's wrap does, reference losses/base.py:43-59)."""
+    import torch
+
+    rng = np.random.default_rng(3)
+    n, c = 16, 9
+    x1 = rng.standard_normal((n, c)).astype(np.float32)
+    x2 = rng.standard_normal((n, c)).astype(np.float32)
+    x3 = rng.standard_normal((n, c)).astype(np.float32)
+    signs = np.where(rng.random(n) < 0.5, -1.0, 1.0).astype(np.float32)
+    var = (np.abs(x2) + 0.1).astype(np.float32)
+    classes = rng.integers(0, c, size=(n,))
+
+    def both(name, kwargs, ours_args, torch_mod, torch_args):
+        ours = float(build_loss({"name": name, "kwargs": kwargs})(*ours_args))
+        theirs = float(torch_mod(*torch_args))
+        assert ours == pytest.approx(theirs, rel=1e-4, abs=1e-5), name
+
+    both(
+        "GaussianNLLLoss", {},
+        (jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(var)),
+        torch.nn.GaussianNLLLoss(),
+        (torch.from_numpy(x1), torch.from_numpy(x2), torch.from_numpy(var)),
+    )
+    both(
+        "CosineEmbeddingLoss", {"margin": 0.1},
+        (jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(signs)),
+        torch.nn.CosineEmbeddingLoss(margin=0.1),
+        (torch.from_numpy(x1), torch.from_numpy(x2), torch.from_numpy(signs)),
+    )
+    both(
+        "TripletMarginLoss", {},
+        (jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(x3)),
+        torch.nn.TripletMarginLoss(),
+        (torch.from_numpy(x1), torch.from_numpy(x2), torch.from_numpy(x3)),
+    )
+    both(
+        "MultiMarginLoss", {},
+        (jnp.asarray(x1), jnp.asarray(classes)),
+        torch.nn.MultiMarginLoss(),
+        (torch.from_numpy(x1), torch.from_numpy(classes)),
+    )
+
+    # MultiLabelMarginLoss: -1-terminated class-index targets
+    ml_tgt = np.full((n, c), -1, np.int64)
+    for i in range(n):
+        k = int(rng.integers(1, 4))
+        ml_tgt[i, :k] = rng.choice(c, size=k, replace=False)
+    ours = float(build_loss({"name": "MultiLabelMarginLoss"})(
+        jnp.asarray(x1), jnp.asarray(ml_tgt)
+    ))
+    theirs = float(
+        torch.nn.MultiLabelMarginLoss()(torch.from_numpy(x1), torch.from_numpy(ml_tgt))
+    )
+    assert ours == pytest.approx(theirs, rel=1e-4, abs=1e-5)
+
+    # CTCLoss via optax, torch mean semantics
+    t, nb, nc, s = 12, 4, 6, 5
+    logp = torch.log_softmax(torch.from_numpy(
+        rng.standard_normal((t, nb, nc)).astype(np.float32)), dim=-1)
+    tgt = torch.from_numpy(rng.integers(1, nc, size=(nb, s)))
+    il = torch.full((nb,), t, dtype=torch.long)
+    tl = torch.from_numpy(rng.integers(2, s + 1, size=(nb,)))
+    theirs = float(torch.nn.CTCLoss(blank=0)(logp, tgt, il, tl))
+    ours = float(build_loss({"name": "CTCLoss"})(
+        jnp.asarray(logp.numpy()), jnp.asarray(tgt.numpy()),
+        jnp.asarray(il.numpy()), jnp.asarray(tl.numpy()),
+    ))
+    assert ours == pytest.approx(theirs, rel=1e-4, abs=1e-4)
+
+
 def test_optimizer_registry_smoke():
     from algonauts2025_tpu.training import OptimConfig
 
