@@ -100,7 +100,10 @@ class _QDense(nn.Module):
         calibrated = self.static_scale and not self.is_mutable_collection(
             "quant_stats"
         )
-        if calibrated and jax.default_backend() == "tpu":
+        # the Pallas kernels need 128-aligned contraction/output dims
+        # (MXU lane width); tiny test configs fall back to the XLA path
+        aligned = self.in_features % 128 == 0 and self.features % 128 == 0
+        if calibrated and aligned and jax.default_backend() == "tpu":
             return int8_matmul_fused(
                 x,
                 self.kernel_q,
@@ -253,6 +256,8 @@ class VJEPA2Block(nn.Module):
             and cfg.quant_static
             and jax.default_backend() == "tpu"
             and not self.is_mutable_collection("quant_stats")
+            and cfg.hidden_size % 128 == 0
+            and mlp_dim % 128 == 0
         )
         if fused_ok:
             # whole-MLP Pallas kernel: the (N, mlp_dim) hidden activations

@@ -131,6 +131,10 @@ def int8_matmul_fused(
     lead = x.shape[:-1]
     kdim = x.shape[-1]
     n = w_q.shape[-1]
+    if kdim % 128 or n % 128:
+        raise ValueError(
+            f"int8_matmul_fused needs 128-aligned dims, got K={kdim}, N={n}"
+        )
     xf = x.reshape(-1, kdim)
     m = xf.shape[0]
 
@@ -270,7 +274,11 @@ def int8_mlp_fused(
     lead = x.shape[:-1]
     kdim = x.shape[-1]
     f = w1_q.shape[-1]
-    while f % fchunk:
+    if kdim % 128 or f % 128:
+        raise ValueError(
+            f"int8_mlp_fused needs 128-aligned dims, got K={kdim}, F={f}"
+        )
+    while f % fchunk or fchunk > f:
         fchunk //= 2
     xf = x.reshape(-1, kdim)
     m = xf.shape[0]

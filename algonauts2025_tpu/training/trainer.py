@@ -463,7 +463,10 @@ class BrainTrainer:
                 if value and name not in out:
                     # also expose the group mean under the base name so a
                     # grouped metric can be monitored directly
-                    out[name] = float(np.mean(list(value.values())))
+                    # nanmean: a single-row group reports NaN by design
+                    # (GroupedPearson); it must not poison the monitorable
+                    # group mean
+                    out[name] = float(np.nanmean(list(value.values())))
             else:
                 out[name] = value
         return out

@@ -90,23 +90,25 @@ def main() -> None:
         device_batch = shard_batch(batch.data, trainer.mesh)
         key = jax.random.PRNGKey(0)
 
-        # full step, serialized chain
-        def run_steps(n):
-            state = trainer.state
+        # the train step DONATES its input state: chain through the
+        # returned state and never reuse trainer.state after the first call
+        state, loss, _ = trainer._train_step(trainer.state, device_batch, key)
+        float(np.asarray(loss))  # compile + sync
+
+        def run_steps(state, n):
             loss = None
             for _ in range(n):
                 state, loss, _ = trainer._train_step(state, device_batch, key)
-            return float(np.asarray(loss))
+            return state, float(np.asarray(loss))
 
-        run_steps(1)  # compile
         n = 10
-        t0 = time.time(); run_steps(n); t_step = (time.time() - t0) / n
+        t0 = time.time(); state, _ = run_steps(state, n); t_step = (time.time() - t0) / n
 
-        # forward only (eval step)
+        # forward only (eval step) on the live (post-donation) params
         def run_eval(n):
             out = None
             for _ in range(n):
-                out = trainer._eval_step(trainer.state.params, device_batch)
+                out = trainer._eval_step(state.params, device_batch)
             return np.asarray(out[:1, :1, :1])
 
         run_eval(1)
