@@ -15,6 +15,7 @@ hidden stack.
 from __future__ import annotations
 
 import logging
+import re
 import typing as tp
 
 import numpy as np
@@ -27,6 +28,10 @@ from .base import LayeredFeatureBase
 logger = logging.getLogger(__name__)
 
 __all__ = ["LLAMA3p2", "TextBackbone", "TinyTextBackbone", "HashTokenizer"]
+
+# any whitespace run, or whitespace that is not a plain single space:
+# contexts containing these bypass the incremental tokenizer entirely
+_NON_SIMPLE_WS = re.compile(r"\s\s|[^\S ]")
 
 
 class TextBackbone:
@@ -115,11 +120,19 @@ class JaxTextBackbone(TextBackbone):
         (is_first, word), and concatenate.  Exact for BPE tokenizers whose
         pre-tokenizer never merges across a single-space boundary (Llama-3's
         GPT-style regex; the leading space rides with the following word).
-        The first 32 contexts are verified against full tokenization and the
-        fast path auto-disables on any mismatch, so the fallback covers
-        pathological inputs (double spaces, exotic whitespace) rather than
-        silently diverging."""
-        if not self._inc_enabled or " " not in t:
+
+        Two safety layers: (1) STRUCTURAL — the fast path only takes
+        contexts that are single-space-joined non-space words (any
+        whitespace run, tab, newline, or unicode space falls through to
+        full tokenization, where per-word concatenation genuinely can
+        diverge); (2) SAMPLED — the first 32 fast-path contexts are
+        verified against full tokenization and the path auto-disables on
+        any mismatch."""
+        if (
+            not self._inc_enabled
+            or " " not in t
+            or _NON_SIMPLE_WS.search(t) is not None
+        ):
             return self._tokenize_full(t)
         ids: list[int] = []
         for i, w in enumerate(t.split(" ")):

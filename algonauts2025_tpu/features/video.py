@@ -241,15 +241,15 @@ class VJEPA2(LayeredFeatureBase):
     name: tp.Literal["VJEPA2"] = "VJEPA2"
     model_name: str = "facebook/vjepa2-vitg-fpc64-256"
     window_batch: int = 4
-    #: w8a8 int8 backbone matmuls (2x MXU rate); changes feature values, so
-    #: it is part of the cache identity and OFF until it passes the
-    #: ACCURACY.md gate on real data
+    #: w8a8 int8 backbone matmuls; changes feature values, so it is part
+    #: of the cache identity (quantized features are their own universe)
     quantize: bool = False
-    #: with quantize: calibrated static activation scales instead of dynamic
-    #: per-row maxima (1.44x bf16 on isolated non-attention matmuls, but
-    #: measured NEUTRAL end-to-end at ViT-G — the quant/dequant passes around
-    #: each matmul do not fuse away; see BENCH_NOTES.md); calibration runs
-    #: once on a fixed seeded input, so values stay deterministic
+    #: with quantize: calibrated static activation scales routed through
+    #: the fused Pallas kernels (ops/quant.py: whole-MLP fusion +
+    #: in-register quantization) — video stage 8.68 -> 7.94 s/24 windows
+    #: measured end-to-end, feature agreement r = 0.99987 vs exact bf16 at
+    #: full ViT-G scale (ACCURACY.md).  Calibration runs once on a fixed
+    #: seeded input, so values stay deterministic
     quant_static: bool = False
 
     event_type: tp.ClassVar[str] = "Video"

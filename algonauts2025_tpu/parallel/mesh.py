@@ -45,10 +45,17 @@ def init_distributed() -> None:
     # TPU pods auto-detect process count/id; generic launchers (and the
     # two-process CPU test) provide them explicitly via env
     if os.environ.get("JAX_NUM_PROCESSES"):
+        if "JAX_PROCESS_ID" not in os.environ:
+            # defaulting to 0 would give every worker the same rank and
+            # hang the coordinator with an opaque barrier timeout
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not; "
+                "export a distinct JAX_PROCESS_ID per process"
+            )
         kwargs = dict(
             coordinator_address=addr,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
         )
     # NOTE: nothing may touch the XLA backend before initialize() — even
     # jax.process_count() would initialize it and make this call fail

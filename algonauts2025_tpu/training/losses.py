@@ -238,44 +238,44 @@ def ctc_loss(
 
 
 _TORCH_STYLE_LOSSES: dict[str, tp.Callable[..., LossFn]] = {
-    "MSELoss": lambda **kw: mse_loss,
-    "L1Loss": lambda **kw: l1_loss,
-    "HuberLoss": lambda delta=1.0, **kw: (
+    "MSELoss": lambda: mse_loss,
+    "L1Loss": lambda: l1_loss,
+    "HuberLoss": lambda delta=1.0: (
         lambda p, t: huber_loss(p, t, delta=delta)
     ),
-    "SmoothL1Loss": lambda beta=1.0, **kw: (
+    "SmoothL1Loss": lambda beta=1.0: (
         lambda p, t: smooth_l1_loss(p, t, beta=beta)
     ),
-    "BCELoss": lambda **kw: bce_loss,
-    "BCEWithLogitsLoss": lambda **kw: bce_with_logits_loss,
-    "KLDivLoss": lambda **kw: kl_div_loss,
-    "PoissonNLLLoss": lambda log_input=True, **kw: (
+    "BCELoss": lambda: bce_loss,
+    "BCEWithLogitsLoss": lambda: bce_with_logits_loss,
+    "KLDivLoss": lambda: kl_div_loss,
+    "PoissonNLLLoss": lambda log_input=True: (
         lambda p, t: poisson_nll_loss(p, t, log_input=log_input)
     ),
-    "CrossEntropyLoss": lambda **kw: cross_entropy_loss,
-    "SoftMarginLoss": lambda **kw: soft_margin_loss,
-    "NLLLoss": lambda **kw: nll_loss,
-    "MarginRankingLoss": lambda margin=0.0, **kw: (
+    "CrossEntropyLoss": lambda: cross_entropy_loss,
+    "SoftMarginLoss": lambda: soft_margin_loss,
+    "NLLLoss": lambda: nll_loss,
+    "MarginRankingLoss": lambda margin=0.0: (
         lambda x1, x2, t: margin_ranking_loss(x1, x2, t, margin=margin)
     ),
-    "HingeEmbeddingLoss": lambda margin=1.0, **kw: (
+    "HingeEmbeddingLoss": lambda margin=1.0: (
         lambda p, t: hinge_embedding_loss(p, t, margin=margin)
     ),
-    "MultiLabelSoftMarginLoss": lambda **kw: multilabel_soft_margin_loss,
-    "GaussianNLLLoss": lambda full=False, eps=1e-6, **kw: (
+    "MultiLabelSoftMarginLoss": lambda: multilabel_soft_margin_loss,
+    "GaussianNLLLoss": lambda full=False, eps=1e-6: (
         lambda p, t, v: gaussian_nll_loss(p, t, v, full=full, eps=eps)
     ),
-    "CosineEmbeddingLoss": lambda margin=0.0, **kw: (
+    "CosineEmbeddingLoss": lambda margin=0.0: (
         lambda a, b, t: cosine_embedding_loss(a, b, t, margin=margin)
     ),
-    "TripletMarginLoss": lambda margin=1.0, p=2.0, **kw: (
+    "TripletMarginLoss": lambda margin=1.0, p=2.0: (
         lambda a, pos, neg: triplet_margin_loss(a, pos, neg, margin=margin, p=p)
     ),
-    "MultiMarginLoss": lambda p=1.0, margin=1.0, **kw: (
+    "MultiMarginLoss": lambda p=1.0, margin=1.0: (
         lambda x, t: multi_margin_loss(x, t, p=p, margin=margin)
     ),
-    "MultiLabelMarginLoss": lambda **kw: multilabel_margin_loss,
-    "CTCLoss": lambda blank=0, reduction="mean", **kw: (
+    "MultiLabelMarginLoss": lambda: multilabel_margin_loss,
+    "CTCLoss": lambda blank=0, reduction="mean": (
         lambda lp, t, il, tl: ctc_loss(lp, t, il, tl, blank=blank, reduction=reduction)
     ),
 }
@@ -313,7 +313,20 @@ class TorchLossConfig(BaseLossConfig):
     kwargs: dict[str, tp.Any] = {}
 
     def build(self) -> LossFn:
-        return _TORCH_STYLE_LOSSES[self.name](**self.kwargs)
+        import inspect
+
+        factory = _TORCH_STYLE_LOSSES[self.name]
+        supported = set(inspect.signature(factory).parameters)
+        unknown = set(self.kwargs) - supported
+        if unknown:
+            # a silently-dropped kwarg trains a different objective; the
+            # reference's auto-wrap validates against the torch signature
+            # (losses/base.py:51), so unsupported options must be loud
+            raise ValueError(
+                f"{self.name}: unsupported kwargs {sorted(unknown)}; this "
+                f"build supports {sorted(supported) or 'no kwargs'}"
+            )
+        return factory(**self.kwargs)
 
 
 LossConfig = tp.Annotated[

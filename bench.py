@@ -42,9 +42,19 @@ PASSES = max(1, int(os.environ.get("BENCH_PASSES", 3)))
 
 
 def median_pass(run) -> float:
-    """Median wall time of PASSES runs of ``run()`` (already warmed)."""
+    """Median wall time of PASSES runs of ``run()`` (already warmed).
+
+    Tripwire: the axon runtime can dedupe repeated identical executions
+    (CLAUDE.md); a pass that finishes in under half the median is the
+    symptom, and the median would then under-report device time."""
     times = sorted(run() for _ in range(PASSES))
-    return times[len(times) // 2]
+    med = times[len(times) // 2]
+    if times[0] < 0.5 * med:
+        log(
+            f"WARNING: pass times {['%.2f' % t for t in times]} spread >2x — "
+            "possible remote execution dedup; treat the median with suspicion"
+        )
+    return med
 WORDS_PER_SEC = 2.0
 CONTEXT_WORDS = 256  # typical running-context length mid-episode
 

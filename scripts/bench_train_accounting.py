@@ -104,15 +104,26 @@ def main() -> None:
         n = 10
         t0 = time.time(); state, _ = run_steps(state, n); t_step = (time.time() - t0) / n
 
-        # forward only (eval step) on the live (post-donation) params
-        def run_eval(n):
-            out = None
-            for _ in range(n):
-                out = trainer._eval_step(state.params, device_batch)
-            return np.asarray(out[:1, :1, :1])
+        # forward only — chained inside ONE jit (repeated identical eval
+        # dispatches get deduped by the axon runtime, CLAUDE.md)
+        import jax.numpy as jnp
 
-        run_eval(1)
-        t0 = time.time(); run_eval(n); t_fwd = (time.time() - t0) / n
+        model = trainer.model
+
+        @jax.jit
+        def chained_fwd(params, data):
+            def body(_, c):
+                d = dict(data)
+                d["video"] = d["video"] + c  # serializing dependency
+                out = model.apply({"params": params}, d, training=False)
+                return out.astype(jnp.float32).mean() * 1e-30
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        float(jax.device_get(chained_fwd(state.params, device_batch)))
+        t0 = time.time()
+        float(jax.device_get(chained_fwd(state.params, device_batch)))
+        t_fwd = (time.time() - t0) / n
 
         # H2D transfer of one batch
         t0 = time.time()

@@ -24,7 +24,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-DIM, DEPTH, HEADS, T, B = 64, 2, 4, 12, 2
+# dim >= 256 (the reference's own x-transformers guard) and dim_head 64:
+# x_transformers builds a max(dim_head // 2, 32)-dim rotary, so heads
+# narrower than 32 dims would rotate differently than any clamped replica
+DIM, DEPTH, HEADS, T, B = 256, 2, 4, 12, 2
 
 
 def main() -> None:
@@ -115,6 +118,10 @@ def main() -> None:
     got = np.asarray(model.apply({"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x.numpy())))
     err = np.abs(got - y).max()
     print("flax-vs-x_transformers max err:", err)
+    assert err < 1e-4, (
+        f"refusing to write a golden fixture with max err {err}: the weight "
+        "transfer or a semantic divergence must be fixed first"
+    )
 
     leaves, _ = jax.tree_util.tree_flatten(params)
     out = {

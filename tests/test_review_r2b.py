@@ -271,3 +271,50 @@ def test_mlp_prelu_and_unsupported_norms(rng):
     bad = MlpConfig(hidden_sizes=[8], norm_layer="batch").build(output_size=4)
     with _pytest.raises(NotImplementedError):
         bad.init(jax.random.PRNGKey(0), x)
+
+
+# -- round-3 code-review regressions ---------------------------------------
+
+
+def test_loss_rejects_unsupported_kwargs():
+    """A silently-dropped loss kwarg trains a different objective
+    (round-3 review; same class as the r2 optimizer kwarg fix)."""
+    import pytest
+
+    from algonauts2025_tpu.training import build_loss
+
+    with pytest.raises(ValueError, match="unsupported kwargs.*swap"):
+        build_loss({"name": "TripletMarginLoss", "kwargs": {"swap": True}})
+    with pytest.raises(ValueError, match="unsupported kwargs"):
+        build_loss({"name": "HingeEmbeddingLoss", "kwargs": {"reduction": "sum"}})
+    # supported kwargs still build
+    build_loss({"name": "HingeEmbeddingLoss", "kwargs": {"margin": 0.3}})
+
+
+def test_incremental_tokenizer_whitespace_guard():
+    """Contexts with whitespace runs / non-space whitespace must bypass the
+    per-word concatenation (it can genuinely diverge there) — structural
+    guard, not just the 32-sample check (round-3 review)."""
+    from algonauts2025_tpu.features.text import TinyTextBackbone
+
+    bb = TinyTextBackbone()
+    for t in ["a  double", "tab\there", "line\nbreak", "nb space and more"]:
+        assert bb._tokenize(t) == bb._tokenize_full(t), t
+        # and the fast-path cache must not have been consulted for these
+    simple = "plain single spaced words"
+    assert bb._tokenize(simple) == bb._tokenize_full(simple)
+    assert bb._word_ids  # fast path engaged for the simple context
+
+
+def test_init_distributed_requires_process_id(monkeypatch):
+    """JAX_NUM_PROCESSES without JAX_PROCESS_ID must fail loudly instead of
+    giving every worker rank 0 (round-3 review)."""
+    import pytest
+
+    from algonauts2025_tpu.parallel import mesh
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError, match="JAX_PROCESS_ID"):
+        mesh.init_distributed()
