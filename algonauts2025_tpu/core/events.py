@@ -368,4 +368,19 @@ class Fmri(BaseDataEvent):
     def _read(self) -> np.ndarray:
         from ..io import fmri as fmriio
 
-        return fmriio.load(str(self.filepath))
+        data = fmriio.load(str(self.filepath))
+        # io.fmri.load returns the array AS STORED; this event declares
+        # frequency/duration, so orientation is validated here instead of
+        # guessed there (the Algonauts release stores time-major files)
+        n_expected = int(round(float(self.duration) * float(self.frequency)))
+        time_last = abs(data.shape[-1] - n_expected) <= 1
+        time_first = abs(data.shape[0] - n_expected) <= 1
+        if time_last:
+            return data  # (parcels, time) — the framework contract
+        if time_first:
+            return np.ascontiguousarray(data.T)
+        raise ValueError(
+            f"Fmri file {self.filepath} has shape {data.shape}; neither axis "
+            f"matches the declared {n_expected} timesteps "
+            f"(duration {self.duration} s at {self.frequency} Hz)"
+        )

@@ -1,8 +1,11 @@
 """fMRI payload loading (HDF5 / NumPy), replacing nibabel/h5py plumbing
 (reference data_utils/data_utils/studies/algonauts2025.py:137-153).
 
-Arrays are returned as float32 with shape (parcels, time) — time last, like
-every TimedArray in this framework.
+Arrays are returned float32 AS STORED — orientation is the caller's
+responsibility: data/algonauts.py transposes the release's time-major
+datasets, and core/events.Fmri._read validates orientation against the
+event's declared duration/frequency (transposing when the file is
+time-major).
 """
 
 from __future__ import annotations
@@ -13,7 +16,7 @@ import numpy as np
 
 
 def load(path: str) -> np.ndarray:
-    """Load a 2D (parcels, time) array from .h5/.hdf5/.npy."""
+    """Load a 2D array from .h5/.hdf5/.npy, orientation as stored."""
     p = Path(path)
     if p.suffix in (".h5", ".hdf5"):
         import h5py

@@ -124,8 +124,12 @@ class VideoClip:
         return rgb
 
     def get_frame(self, t: float) -> np.ndarray:
-        """Frame at clip-relative time t (seconds)."""
-        idx = int(round((self.offset + max(0.0, t)) * self.fps))
+        """Frame at clip-relative time t (seconds).
+
+        Index = floor(fps*t + 1e-5), the exact moviepy FFMPEG_VideoReader
+        convention the reference reads frames through — round() picked the
+        NEXT frame for half of all timestamps at non-integer fps."""
+        idx = int((self.offset + max(0.0, t)) * self.fps + 1e-5)
         return self._read_abs_frame(idx)
 
     def iter_frames(self) -> tp.Iterator[np.ndarray]:
@@ -145,9 +149,10 @@ class VideoClip:
         Window k covers [times[k]-span, times[k]] sampled at
         ``n_frames / span`` fps with clamping at the clip start — the same
         sampling as the reference's per-frame random access
-        (features/video.py:203-223: subtimes = k/n * span, reversed), but
-        decoded in a single forward pass over the stream with an LRU of
-        decoded frames keyed by absolute frame index.
+        (features/video.py:203-223: subtimes = k/n * span, reversed,
+        through moviepy's floor(fps*t + 1e-5) frame lookup), but decoded
+        in a single forward pass over the stream with an LRU of decoded
+        frames keyed by absolute frame index.
         """
         subtimes = [k / n_frames * span for k in reversed(range(n_frames))]
         cache: dict[int, np.ndarray] = {}
@@ -157,7 +162,7 @@ class VideoClip:
             window = []
             for t2 in subtimes:
                 tt = max(0.0, t - t2)
-                idx = int(round((self.offset + tt) * self.fps))
+                idx = int((self.offset + tt) * self.fps + 1e-5)  # moviepy floor
                 if idx not in cache:
                     cache[idx] = self._read_abs_frame(idx)
                     order.append(idx)

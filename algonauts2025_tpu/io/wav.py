@@ -157,16 +157,20 @@ def read_mono_zscore(path: str, start: int = 0, frames: int = -1) -> np.ndarray:
         frames = total_frames - start
     frames = min(frames, total_frames - start)
     if fmt.audio_format == 1 and fmt.bits == 16:
-        from ..native import decode_pcm16_mono_zscore
+        from ..native import decode_pcm16_mono_zscore, get_lib
 
-        raw = np.fromfile(
-            path,
-            dtype=np.uint8,
-            count=frames * frame_bytes,
-            offset=fmt.data_offset + start * frame_bytes,
-        )
-        out = decode_pcm16_mono_zscore(raw, fmt.channels)
-        if out is not None:
-            return out
+        # probe library availability BEFORE the bulk read: without this, a
+        # box with no native build read the whole PCM payload, discarded
+        # it, and re-read it through the NumPy fallback below
+        if get_lib() is not None:
+            raw = np.fromfile(
+                path,
+                dtype=np.uint8,
+                count=frames * frame_bytes,
+                offset=fmt.data_offset + start * frame_bytes,
+            )
+            out = decode_pcm16_mono_zscore(raw, fmt.channels)
+            if out is not None:
+                return out
     data = read(path, start=start, frames=frames).mean(axis=1)
     return (data - data.mean()) / (1e-8 + data.std())

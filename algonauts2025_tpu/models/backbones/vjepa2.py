@@ -362,14 +362,22 @@ def params_from_hf(state_dict: tp.Mapping[str, tp.Any], cfg: VJEPA2Config) -> di
             w = w.T
         return jnp.asarray(w)
 
+    def arr_np(name, transpose=False):
+        w = state_dict[name]
+        w = np.asarray(w.float() if hasattr(w, "float") else w, dtype=np.float32)
+        return w.T if transpose else w
+
     def linear(prefix):
         if cfg.quantize:
             from ...ops.quant import quantize_dense_params
 
+            # NumPy inputs keep the whole int8 conversion host-side — the
+            # jnp path costs one eager device round trip per primitive on
+            # remotely-attached chips
             return quantize_dense_params(
                 {
-                    "kernel": arr(prefix + ".weight", transpose=True),
-                    "bias": arr(prefix + ".bias"),
+                    "kernel": arr_np(prefix + ".weight", transpose=True),
+                    "bias": arr_np(prefix + ".bias"),
                 }
             )
         return {

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ._util import round_up as _round_up
+
 __all__ = ["apply_rotary", "rotary_angles", "dot_product_attention", "fused_attention"]
 
 
@@ -62,10 +64,6 @@ def dot_product_attention(
         scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):

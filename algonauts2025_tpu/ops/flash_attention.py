@@ -18,11 +18,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ._util import round_up as _round_up
+
 __all__ = ["flash_attention"]
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _flash_kernel(
@@ -174,7 +172,12 @@ def _fast_flash(
     q, k, v, q_block: int, kv_block: int, interpret: bool, score_dtype=jnp.float32
 ):
     """Plain (non-causal, unmasked) flash attention with folded scale and
-    MXU-side row sums; head dim padded to the 128-lane tile."""
+    MXU-side row sums; head dim padded to the 128-lane tile.
+
+    NOT on the production dispatch path (flash_attention routes that case
+    to the faster _bounded_flash): kept as the measured online-max baseline
+    that scripts/bench_attn.py A/Bs new kernel ideas against, same policy
+    as flash_attention_packed below."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

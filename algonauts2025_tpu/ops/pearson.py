@@ -24,12 +24,16 @@ __all__ = [
 
 
 def pearson_corr(x: jax.Array, y: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Per-column Pearson r of two (N, D) arrays -> (D,)."""
+    """Per-column Pearson r of two (N, D) arrays -> (D,).
+
+    eps sits INSIDE the sqrt: d/dx sqrt(0) is inf, so the outside-eps form
+    produces NaN gradients at constant columns (zero-padded voxels through
+    zero-init heads) when this op is used as a loss (CLAUDE.md)."""
     xm = x - x.mean(axis=0, keepdims=True)
     ym = y - y.mean(axis=0, keepdims=True)
     cov = (xm * ym).sum(axis=0)
-    xs = jnp.sqrt((xm**2).sum(axis=0))
-    ys = jnp.sqrt((ym**2).sum(axis=0))
+    xs = jnp.sqrt((xm**2).sum(axis=0) + eps)
+    ys = jnp.sqrt((ym**2).sum(axis=0) + eps)
     return cov / (xs * ys + eps)
 
 

@@ -29,7 +29,17 @@ __all__ = [
 
 
 def quantize_weight(w: np.ndarray | jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(K, N) float weights -> (int8 (K, N), fp32 per-column scale (N,))."""
+    """(K, N) float weights -> (int8 (K, N), fp32 per-column scale (N,)).
+
+    NumPy inputs are quantized on the HOST (np.round is the same
+    round-half-even): the HF converters call this once per dense per layer,
+    and eager device dispatch costs ~0.4 s per primitive on the
+    remotely-attached chip (CLAUDE.md) — >1000 round trips for ViT-G."""
+    if isinstance(w, np.ndarray):
+        w32 = np.asarray(w, np.float32)
+        scale = np.maximum(np.abs(w32).max(axis=-2) / 127.0, 1e-12)
+        w_q = np.clip(np.round(w32 / scale[..., None, :]), -127, 127).astype(np.int8)
+        return jnp.asarray(w_q), jnp.asarray(scale.astype(np.float32))
     w = jnp.asarray(w, jnp.float32)
     scale = jnp.max(jnp.abs(w), axis=-2) / 127.0
     scale = jnp.maximum(scale, 1e-12)
@@ -365,14 +375,23 @@ def quantize_tree(params: dict, names: tuple[str, ...] = _DENSE_NAMES) -> dict:
 def quantize_dense_params(dense_params: dict) -> dict:
     """{'kernel','bias'?} float tree -> {'kernel_q','scale','bias'?}.
 
-    Works on stacked (L, K, N) scan params too (per-layer scales)."""
-    kernel = jnp.asarray(dense_params["kernel"], jnp.float32)
-    if kernel.ndim == 3:  # (L, K, N): quantize each layer independently
-        w_q, scale = jax.vmap(quantize_weight)(kernel)
-        a_scale = jnp.zeros((kernel.shape[0],), jnp.float32)
-    else:
+    Works on stacked (L, K, N) scan params too (per-layer scales).
+    NumPy kernels stay on the host end to end (see quantize_weight)."""
+    kernel = dense_params["kernel"]
+    if isinstance(kernel, np.ndarray):
+        kernel = np.asarray(kernel, np.float32)
+        # host path: per-column max broadcasts over any leading axes, so
+        # stacked (L, K, N) quantizes per layer with no vmap/device work
         w_q, scale = quantize_weight(kernel)
-        a_scale = jnp.zeros((), jnp.float32)
+        a_scale = jnp.zeros(kernel.shape[:-2], jnp.float32)
+    else:
+        kernel = jnp.asarray(kernel, jnp.float32)
+        if kernel.ndim == 3:  # (L, K, N): quantize each layer independently
+            w_q, scale = jax.vmap(quantize_weight)(kernel)
+            a_scale = jnp.zeros((kernel.shape[0],), jnp.float32)
+        else:
+            w_q, scale = quantize_weight(kernel)
+            a_scale = jnp.zeros((), jnp.float32)
     # 0 = uncalibrated; static-scale mode requires calibrate_quant_scales
     out = {"kernel_q": w_q, "scale": scale, "a_scale": a_scale}
     if "bias" in dense_params:

@@ -6,8 +6,15 @@ uint8 (T, H, W, 3) window is shipped to the device once and the
 bilinear resize + crop + rescale + normalize run fused under jit, so
 preprocessing overlaps backbone compute instead of blocking the host.
 
-Parity targets: shortest edge -> int(crop*256/224) bilinear, center crop,
-1/255 rescale, ImageNet mean/std.
+Parity targets (HF VJEPA2VideoProcessor = torchvision v2 resize):
+shortest edge -> int(crop*256/224), long edge TRUNCATED
+(int(resize * long / short), torchvision _compute_resized_output_size),
+ANTIALIASED bilinear (torchvision passes antialias=True), center crop,
+1/255 rescale, ImageNet mean/std.  torchvision itself is absent from this
+environment, so the semantics are replicated from its source rather than
+pinned by a direct A/B test — documented divergence risk is the resize
+filter's tail weights (jax.image antialias vs torchvision's), bounded
+well below the int8-path noise floor.
 """
 
 from __future__ import annotations
@@ -28,11 +35,14 @@ def preprocess_frames(frames: jax.Array, crop_size: int = 256) -> jax.Array:
     """(T, H, W, 3) uint8 -> (T, crop, crop, 3) float32 normalized."""
     t, h, w, c = frames.shape
     resize_size = int(crop_size * 256 / 224)
-    scale = resize_size / min(h, w)
-    new_h = max(crop_size, int(round(h * scale)))
-    new_w = max(crop_size, int(round(w * scale)))
+    # torchvision shortest-edge semantics: short -> resize_size exactly,
+    # long -> int(resize_size * long / short) (truncated, not rounded)
+    if h <= w:
+        new_h, new_w = resize_size, int(resize_size * w / h)
+    else:
+        new_h, new_w = int(resize_size * h / w), resize_size
     x = frames.astype(jnp.float32)
-    x = jax.image.resize(x, (t, new_h, new_w, c), method="bilinear", antialias=False)
+    x = jax.image.resize(x, (t, new_h, new_w, c), method="bilinear", antialias=True)
     top = (new_h - crop_size) // 2
     left = (new_w - crop_size) // 2
     x = jax.lax.dynamic_slice(

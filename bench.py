@@ -195,7 +195,7 @@ def bench_video(video_path: Path) -> float:
         )
     backbone = JaxVideoBackbone(model, params, n_frames=64, crop_size=crop)
 
-    wb = 4  # windows per device batch
+    wb = int(os.environ.get("BENCH_WB", 4))  # windows per device batch
     clip = VideoClip(str(video_path))
     times = np.linspace(0, clip.duration, int(2 * clip.duration) + 1)[1:]
     # warmup/compile on one batch
