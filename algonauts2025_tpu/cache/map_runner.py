@@ -72,7 +72,19 @@ class CachedMap:
         if self.infra.folder is None:
             return None
         if self._store is None:
-            uid = config_uid(self.owner, version=self.infra.version)
+            # the owner can declare an implementation version (class var
+            # `_cache_impl_version`) that busts caches when the COMPUTE
+            # semantics change without any config field changing — e.g.
+            # the r3 video decode/resize parity fixes changed cached
+            # feature values under identical configs.  "0" (the default)
+            # keeps historical uids stable.
+            impl = str(getattr(self.owner, "_cache_impl_version", "0"))
+            version = (
+                self.infra.version
+                if impl == "0"
+                else f"{self.infra.version}+impl{impl}"
+            )
+            uid = config_uid(self.owner, version=version)
             folder = Path(self.infra.folder) / uid / self.method_name
             self._store = ArrayStore(folder, keep_in_ram=self.infra.keep_in_ram)
             if self.infra.mode == "force" and not self._cleared:

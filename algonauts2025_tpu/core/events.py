@@ -373,14 +373,24 @@ class Fmri(BaseDataEvent):
         # frequency/duration, so orientation is validated here instead of
         # guessed there (the Algonauts release stores time-major files)
         n_expected = int(round(float(self.duration) * float(self.frequency)))
-        time_last = abs(data.shape[-1] - n_expected) <= 1
-        time_first = abs(data.shape[0] - n_expected) <= 1
-        if time_last:
+        err_time_last = abs(data.shape[-1] - n_expected)
+        err_time_first = abs(data.shape[0] - n_expected)
+        if min(err_time_last, err_time_first) > 1:
+            raise ValueError(
+                f"Fmri file {self.filepath} has shape {data.shape}; neither "
+                f"axis matches the declared {n_expected} timesteps "
+                f"(duration {self.duration} s at {self.frequency} Hz)"
+            )
+        if err_time_last == err_time_first:
+            # both axes within tolerance (e.g. 1000 parcels and ~1000 TRs):
+            # orientation is undecidable from shape, and a wrong guess
+            # silently swaps axes — fail loudly instead
+            raise ValueError(
+                f"Fmri file {self.filepath} has shape {data.shape}: BOTH axes "
+                f"are within 1 of the declared {n_expected} timesteps, so the "
+                "orientation is ambiguous.  Store the file (parcels, time) or "
+                "use a parcel count that differs from the timestep count"
+            )
+        if err_time_last < err_time_first:
             return data  # (parcels, time) — the framework contract
-        if time_first:
-            return np.ascontiguousarray(data.T)
-        raise ValueError(
-            f"Fmri file {self.filepath} has shape {data.shape}; neither axis "
-            f"matches the declared {n_expected} timesteps "
-            f"(duration {self.duration} s at {self.frequency} Hz)"
-        )
+        return np.ascontiguousarray(data.T)

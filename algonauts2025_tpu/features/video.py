@@ -254,6 +254,11 @@ class VJEPA2(LayeredFeatureBase):
 
     event_type: tp.ClassVar[str] = "Video"
     frequency: tp.ClassVar[float] = OUTPUT_HZ
+    #: bust warm feature caches when compute semantics change with no
+    #: config change: "1" = r3 decode/resize parity fixes (moviepy floor
+    #: frame indexing in io/video.py, torchvision antialias + truncated
+    #: long edge in ops/video_prep.py) altered cached values
+    _cache_impl_version: tp.ClassVar[str] = "1"
 
     _backbone: VideoBackbone | None = pydantic.PrivateAttr(default=None)
 

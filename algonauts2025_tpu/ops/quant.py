@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ._util import round_up as _round_up
+
 __all__ = [
     "quantize_weight",
     "int8_matmul",
@@ -148,28 +150,21 @@ def int8_matmul_fused(
     xf = x.reshape(-1, kdim)
     m = xf.shape[0]
 
-    bn = n if n <= 2048 else _largest_tile_divisor(n, 2048) or 2048
-    bk = kdim if kdim <= 2048 else _largest_tile_divisor(kdim, 2048) or 2048
+    # K and N are 128-aligned (validated above), so 128 itself always
+    # divides them: _largest_tile_divisor can never return 0 here, and
+    # bn/bk divide n/kdim exactly — only the row dim ever needs padding
+    bn = n if n <= 2048 else _largest_tile_divisor(n, 2048)
+    bk = kdim if kdim <= 2048 else _largest_tile_divisor(kdim, 2048)
+    assert bn and kdim % bk == 0 and n % bn == 0, (kdim, n, bk, bn)
 
-    mp = -(-m // bm) * bm
-    np_ = -(-n // bn) * bn
-    kp = -(-kdim // bk) * bk
+    mp = _round_up(m, bm)
     if mp != m:
         xf = jnp.pad(xf, ((0, mp - m), (0, 0)))
-    if kp != kdim:
-        # zero-padded x columns quantize to 0 and contribute nothing
-        xf = jnp.pad(xf, ((0, 0), (0, kp - kdim)))
-        w_q = jnp.pad(w_q, ((0, kp - kdim), (0, 0)))
-    if np_ != n:
-        w_q = jnp.pad(w_q, ((0, 0), (0, np_ - n)))
-        w_scale = jnp.pad(w_scale, (0, np_ - n))
-        if bias is not None:
-            bias = jnp.pad(bias, (0, np_ - n))
     if bias is None:
-        bias = jnp.zeros((np_,), jnp.float32)
+        bias = jnp.zeros((n,), jnp.float32)
 
     sx = jnp.maximum(jnp.asarray(x_scale, jnp.float32), 1e-12).reshape(1)
-    grid = (mp // bm, np_ // bn, kp // bk)
+    grid = (mp // bm, n // bn, kdim // bk)
     out = pl.pallas_call(
         _fused_w8a8_kernel,
         grid=grid,
@@ -181,7 +176,7 @@ def int8_matmul_fused(
             pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -192,10 +187,10 @@ def int8_matmul_fused(
         sx,
         xf,
         w_q,
-        w_scale.astype(jnp.float32).reshape(1, np_),
-        bias.astype(jnp.float32).reshape(1, np_),
+        w_scale.astype(jnp.float32).reshape(1, n),
+        bias.astype(jnp.float32).reshape(1, n),
     )
-    return out[:m, :n].reshape(lead + (n,))
+    return out[:m].reshape(lead + (n,))
 
 
 def _gelu_erf_approx(x):
@@ -292,7 +287,7 @@ def int8_mlp_fused(
         fchunk //= 2
     xf = x.reshape(-1, kdim)
     m = xf.shape[0]
-    mp = -(-m // bm) * bm
+    mp = _round_up(m, bm)
     if mp != m:
         xf = jnp.pad(xf, ((0, mp - m), (0, 0)))
 

@@ -281,6 +281,33 @@ _TORCH_STYLE_LOSSES: dict[str, tp.Callable[..., LossFn]] = {
 }
 
 
+def _torch_default_kwargs(
+    name: str, kwargs: dict[str, tp.Any], candidates: tp.Iterable[str]
+) -> list[str]:
+    """Of ``candidates``, the kwargs that exist on the torch.nn loss of the
+    same name with a value equal to the torch default (behavioral no-ops)."""
+    import inspect
+
+    try:
+        import torch.nn as nn
+    except Exception:  # pragma: no cover - torch is baked into this env
+        return []
+    cls = getattr(nn, name, None)
+    if cls is None:
+        return []
+    params = inspect.signature(cls.__init__).parameters
+    noop = []
+    for key in candidates:
+        p = params.get(key)
+        if (
+            p is not None
+            and p.default is not inspect.Parameter.empty
+            and kwargs[key] == p.default
+        ):
+            noop.append(key)
+    return noop
+
+
 class BaseLossConfig(pydantic.BaseModel):
     model_config = pydantic.ConfigDict(extra="forbid")
     name: str
@@ -317,16 +344,25 @@ class TorchLossConfig(BaseLossConfig):
 
         factory = _TORCH_STYLE_LOSSES[self.name]
         supported = set(inspect.signature(factory).parameters)
-        unknown = set(self.kwargs) - supported
+        kwargs = dict(self.kwargs)
+        unknown = set(kwargs) - supported
         if unknown:
-            # a silently-dropped kwarg trains a different objective; the
-            # reference's auto-wrap validates against the torch signature
-            # (losses/base.py:51), so unsupported options must be loud
+            # the reference auto-wrap validates against the TORCH signature
+            # (losses/base.py:51), so a ported config may spell out torch
+            # defaults this build doesn't parameterize (e.g. MSELoss
+            # reduction='mean').  Accept those no-ops; anything that would
+            # change the objective must still be loud — a silently-dropped
+            # kwarg trains a different loss.
+            for name in _torch_default_kwargs(self.name, kwargs, unknown):
+                kwargs.pop(name)
+                unknown.discard(name)
+        if unknown:
             raise ValueError(
                 f"{self.name}: unsupported kwargs {sorted(unknown)}; this "
-                f"build supports {sorted(supported) or 'no kwargs'}"
+                f"build supports {sorted(supported) or 'no kwargs'} (plus "
+                "torch-default values of the torch constructor's kwargs)"
             )
-        return factory(**self.kwargs)
+        return factory(**kwargs)
 
 
 LossConfig = tp.Annotated[

@@ -45,16 +45,20 @@ def median_pass(run) -> float:
     """Median wall time of PASSES runs of ``run()`` (already warmed).
 
     Tripwire: the axon runtime can dedupe repeated identical executions
-    (CLAUDE.md); a pass that finishes in under half the median is the
-    symptom, and the median would then under-report device time."""
+    (CLAUDE.md); suspiciously-fast passes are the symptom.  The spread
+    check compares fastest to SLOWEST (not to the median: with 2 of 3
+    passes deduped the median itself is the bogus fast value), and on a
+    trip the slowest pass is reported — the one time that cannot have
+    been inflated by dedup — so the headline can only be under-, never
+    over-reported."""
     times = sorted(run() for _ in range(PASSES))
-    med = times[len(times) // 2]
-    if times[0] < 0.5 * med:
+    if times[0] < 0.5 * times[-1]:
         log(
             f"WARNING: pass times {['%.2f' % t for t in times]} spread >2x — "
-            "possible remote execution dedup; treat the median with suspicion"
+            "possible remote execution dedup; reporting the slowest pass"
         )
-    return med
+        return times[-1]
+    return times[len(times) // 2]
 WORDS_PER_SEC = 2.0
 CONTEXT_WORDS = 256  # typical running-context length mid-episode
 

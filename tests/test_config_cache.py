@@ -1,5 +1,7 @@
 """ConfDict, uid hashing, ArrayStore, CachedMap, TaskInfra tests."""
 
+from typing import ClassVar
+
 import numpy as np
 import pydantic
 import pytest
@@ -94,6 +96,44 @@ def test_cached_map(tmp_path):
     out3 = cm2([1, 4])
     assert len(calls) == 2
     np.testing.assert_array_equal(out3[1], [4.0, 4.0])
+
+
+def test_cached_map_impl_version_busts_cache(tmp_path):
+    """An owner-declared `_cache_impl_version` busts warm caches when
+    compute semantics change with no config change (r3 review: the video
+    decode parity fixes changed cached values under identical configs);
+    the default "0" keeps historical uids stable."""
+    calls = []
+
+    def fn(items):
+        calls.append(list(items))
+        return [np.full((2,), float(i)) for i in items]
+
+    def make(owner):
+        return CachedMap(
+            infra=MapInfra(folder=tmp_path),
+            owner=owner,
+            method_name="_get_data",
+            fn=fn,
+            item_uid=str,
+        )
+
+    class _FeatV1(_Feat):
+        _cache_impl_version: ClassVar[str] = "1"
+
+    # config_uid embeds the class name; align it so ONLY the impl version
+    # differs between the two owners
+    _FeatV1.__name__ = "_Feat"
+
+    make(_Feat())([1])
+    make(_FeatV1())([1])
+    assert len(calls) == 2  # new impl version does not read the old cache
+    make(_FeatV1())([1])
+    assert len(calls) == 2  # but is itself cached
+
+    from algonauts2025_tpu.features.video import VJEPA2
+
+    assert VJEPA2._cache_impl_version != "0"  # r3 decode fixes are versioned
 
 
 def test_cached_map_ram_only():

@@ -221,6 +221,26 @@ def test_unknown_loss_lists_supported():
         build_loss({"name": "NoSuchLoss"})
 
 
+def test_loss_accepts_torch_default_kwargs_rejects_changed():
+    """A config ported from the reference may spell out torch defaults
+    (valid under the reference's torch-signature validation,
+    losses/base.py:51): no-op values build, behavior-changing ones are
+    still loud (r3 review)."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((4, 5)).astype(np.float32)
+    b = np.random.default_rng(1).standard_normal((4, 5)).astype(np.float32)
+    fn = build_loss({"name": "MSELoss", "kwargs": {"reduction": "mean"}})
+    base = build_loss({"name": "MSELoss"})
+    assert float(fn(jnp.asarray(a), jnp.asarray(b))) == pytest.approx(
+        float(base(jnp.asarray(a), jnp.asarray(b)))
+    )
+    with pytest.raises(ValueError, match="unsupported kwargs"):
+        build_loss({"name": "MSELoss", "kwargs": {"reduction": "sum"}})
+    with pytest.raises(ValueError, match="unsupported kwargs"):
+        build_loss({"name": "MSELoss", "kwargs": {"not_a_kwarg": 1}})
+
+
 def test_multiarg_losses_match_torch():
     """The remaining torch auto-wrap losses (3/4-argument signatures kept,
     as the reference's wrap does, reference losses/base.py:43-59)."""

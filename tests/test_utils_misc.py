@@ -73,3 +73,26 @@ def test_task_clone_obj(tmp_path):
     t2 = t.infra.clone_obj(**{"x": 5, "infra.mode": "force"})
     assert t2.x == 5 and t2.infra.mode == "force"
     assert t.x == 1  # original untouched
+
+
+def test_bench_median_pass_dedup_tripwire(monkeypatch):
+    """bench.median_pass must not report a dedup-inflated median: with 2 of
+    3 passes suspiciously fast (axon dedupes repeated identical
+    executions, CLAUDE.md) the median IS the bogus fast value, so the
+    slowest pass is reported instead (r3 review)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setattr(bench, "PASSES", 3)
+
+    fast_fast_slow = iter([0.1, 0.1, 1.0])
+    assert bench.median_pass(lambda: next(fast_fast_slow)) == 1.0
+    fast_slow_slow = iter([0.1, 1.0, 1.1])
+    assert bench.median_pass(lambda: next(fast_slow_slow)) == 1.1
+    steady = iter([1.0, 1.1, 1.2])
+    assert bench.median_pass(lambda: next(steady)) == 1.1

@@ -147,3 +147,23 @@ def test_fmri_event_orientation_validation(tmp_path):
 
     with _pytest.raises(ValueError, match="neither axis"):
         make_event(p_bad).read()
+
+    # BOTH axes within 1 of the declared timestep count (e.g. 1000 parcels
+    # and ~1000 TRs): orientation is undecidable — must fail loudly rather
+    # than silently guess (r3 review: a wrong guess swaps axes)
+    p_ambig = tmp_path / "ambig.npy"
+    np.save(p_ambig, np.zeros((n_t, n_t), np.float32))  # square: errors tie
+    with _pytest.raises(ValueError, match="ambiguous"):
+        make_event(p_ambig).read()
+
+    # one axis exact, the other off by one (40 vs 41): the exact axis wins
+    # over the within-tolerance one instead of raising or misorienting
+    p_close = tmp_path / "close.npy"
+    np.save(p_close, np.zeros((n_t, n_t + 1), np.float32))
+    assert make_event(p_close).read().shape == (n_t + 1, n_t)
+
+    # off-by-one on one axis only (time-major, one TR short): transposed
+    p_trunc = tmp_path / "trunc.npy"
+    np.save(p_trunc, data_tp[: n_t - 1])
+    out3 = make_event(p_trunc).read()
+    assert out3.shape == (n_p, n_t - 1)
