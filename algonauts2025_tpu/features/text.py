@@ -76,6 +76,8 @@ class JaxTextBackbone(TextBackbone):
     """A flax LlamaBackbone + tokenizer running under jit (bf16)."""
 
     BUCKETS = (32, 64, 128, 256, 512, 1024)
+    #: word-count buckets for the chain pooling matrix (bounded compiles)
+    WBUCKETS = (16, 64, 256, 1024)
 
     def __init__(self, model, params, tokenizer, pad_id: int):
         import jax
@@ -109,6 +111,17 @@ class JaxTextBackbone(TextBackbone):
             return jnp.einsum("lbtd,bt->lbd", states, w.astype(states.dtype))
 
         self._pooled_fn = jax.jit(pooled)
+
+        def chain_pooled(params, ids, mask, pool):
+            # ONE causal forward over the longest context of a nested-
+            # prefix chain; every prefix's per-word pooling happens on the
+            # same hidden states (exact vs per-context forwards: positions
+            # are shared from 0 and attention is causal, so the state at
+            # position t only sees tokens <= t)
+            states = self.model.apply({"params": params}, ids, mask)  # (L+1,1,T,D)
+            return jnp.einsum("ltd,wt->lwd", states[:, 0], pool.astype(states.dtype))
+
+        self._chain_fn = jax.jit(chain_pooled)
 
     def _tokenize_full(self, t: str) -> list[int]:
         if hasattr(self.tokenizer, "encode"):  # HF tokenizer
@@ -194,6 +207,39 @@ class JaxTextBackbone(TextBackbone):
         forcing the transfer — lets the caller tokenize the next batch while
         this one computes."""
         return self._pooled_fn(self.params, ids, mask, spans)
+
+    def chain_tokenize(self, texts: list[str]) -> list[list[int]]:
+        """Token ids per text via the incremental per-word cache."""
+        return [self._tokenize(t) for t in texts]
+
+    def pooled_states_chain_async(
+        self, tokens: list[list[int]], spans: tp.Sequence[int]
+    ):
+        """Per-word pooled states for a nested-prefix context chain in ONE
+        forward over the final (longest) token sequence.
+
+        ``tokens`` must be a prefix chain (tokens[i] extends tokens[i-1]);
+        word i pools the mean of the last ``spans[i]`` positions of its own
+        prefix — identical numerics to ``pooled_states`` on each context
+        separately (causal attention + shared absolute positions), at
+        ~1/len(tokens) of the compute.  Returns (L+1, Wbucket, D) on device;
+        the caller slices the first len(tokens) rows."""
+        t_len = max(1, len(tokens[-1]))
+        width = _bucket(t_len, self.BUCKETS)
+        if t_len > width:
+            width = -(-t_len // 512) * 512
+        ids = np.full((1, width), self.pad_id, dtype=np.int32)
+        mask = np.zeros((1, width), dtype=np.int32)
+        seq = tokens[-1] if tokens[-1] else [self.pad_id]
+        ids[0, : len(seq)] = seq
+        mask[0, : len(seq)] = 1
+        wb = _bucket(len(tokens), self.WBUCKETS)
+        pool = np.zeros((wb, width), dtype=np.float32)
+        for i, (tk, span) in enumerate(zip(tokens, spans)):
+            length = max(1, len(tk))
+            s = max(1, min(int(span), length))
+            pool[i, length - s : length] = 1.0 / s
+        return self._chain_fn(self.params, ids, mask, pool)
 
 
 class TinyTextBackbone(JaxTextBackbone):
@@ -305,8 +351,92 @@ class LLAMA3p2(LayeredFeatureBase):
                     ) from e
         return self._backbone
 
+    #: minimum run length for the single-forward chain path; shorter runs
+    #: batch better through the padded path
+    MIN_CHAIN: tp.ClassVar[int] = 8
+
+    def _chain_runs(
+        self, backbone: tp.Any, events: tp.Sequence[Word]
+    ) -> list[list]:
+        """Split ``events`` into maximal nested-prefix token-chain runs.
+
+        Returns [is_chain, events, tokens] groups in order.  A run chains
+        while each context's token ids extend the previous event's ids
+        (true for AddContextToWords rolling contexts until the 1024-token
+        left-truncation kicks in) and stays within max_context_tokens.
+        Chain runs shorter than MIN_CHAIN are demoted and merged into the
+        neighboring batched runs."""
+        raw: list[list] = []
+        cur_e: list = []
+        cur_t: list = []
+        limit = min(self.max_context_tokens, 4096)  # bound device width
+        for e in events:
+            ids = backbone.chain_tokenize([e.context or e.text])[0]
+            chainable = 0 < len(ids) <= limit
+            extends = (
+                bool(cur_e)
+                and chainable
+                and len(cur_e) < JaxTextBackbone.WBUCKETS[-1]
+                and ids[: len(cur_t[-1])] == cur_t[-1]
+            )
+            if extends:
+                cur_e.append(e)
+                cur_t.append(ids)
+                continue
+            if cur_e:
+                raw.append([True, cur_e, cur_t])
+            if chainable:
+                cur_e, cur_t = [e], [ids]
+            else:
+                raw.append([False, [e], [ids]])
+                cur_e, cur_t = [], []
+        if cur_e:
+            raw.append([True, cur_e, cur_t])
+        merged: list[list] = []
+        for is_chain, es, ts in raw:
+            is_chain = is_chain and len(es) >= self.MIN_CHAIN
+            if merged and not merged[-1][0] and not is_chain:
+                merged[-1][1].extend(es)
+                merged[-1][2].extend(ts)
+            else:
+                merged.append([is_chain, es, ts])
+        return merged
+
+    #: words per chain dispatch: sub-chains of a prefix chain are prefix
+    #: chains themselves, so splitting is exact; n sub-chains cost
+    #: ~(n+1)/2 x one full-chain forward but let the (L+1, W, D) feature
+    #: fetch pipeline behind the next sub-chain's compute — on hosts where
+    #: D2H is slow relative to compute the fetch is the text-stage floor
+    CHAIN_CHUNK: tp.ClassVar[int] = 16
+
     def _compute(self, events: tp.Sequence[Word]) -> tp.Iterator[np.ndarray]:
         backbone = self.backbone
+        if hasattr(backbone, "pooled_states_chain_async"):
+            for is_chain, run, toks in self._chain_runs(backbone, events):
+                if is_chain:
+                    spans = [len(e.text) for e in run]
+                    pending: tuple[tp.Any, int] | None = None
+                    for k in range(0, len(run), self.CHAIN_CHUNK):
+                        sub_t = toks[k : k + self.CHAIN_CHUNK]
+                        sub_s = spans[k : k + self.CHAIN_CHUNK]
+                        out = backbone.pooled_states_chain_async(sub_t, sub_s)
+                        if pending is not None:
+                            pooled = np.asarray(pending[0])  # (L+1, Wb, D)
+                            for j in range(pending[1]):
+                                yield pooled[:, j].astype(np.float32)
+                        pending = (out, len(sub_t))
+                    if pending is not None:
+                        pooled = np.asarray(pending[0])
+                        for j in range(pending[1]):
+                            yield pooled[:, j].astype(np.float32)
+                else:
+                    yield from self._compute_batched(backbone, run)
+            return
+        yield from self._compute_batched(backbone, events)
+
+    def _compute_batched(
+        self, backbone: tp.Any, events: tp.Sequence[Word]
+    ) -> tp.Iterator[np.ndarray]:
         bs = self.batch_size
 
         def prep(chunk):

@@ -68,11 +68,21 @@ def log(msg: str) -> None:
 
 
 def bench_text(words: list[str], contexts: list[str]) -> float:
-    """Seconds to encode all word contexts with Llama-3.2-3B."""
+    """Seconds to encode all word contexts with Llama-3.2-3B.
+
+    Drives the PRODUCTION feature path (features/text.py LLAMA3p2._compute):
+    nested-prefix running contexts route through the single-forward chain
+    path; broken chains fall back to the batched path — exactly what a
+    real study run executes."""
     import jax
     import jax.numpy as jnp
 
-    from algonauts2025_tpu.features.text import JaxTextBackbone, HashTokenizer
+    from algonauts2025_tpu.core.events import Word
+    from algonauts2025_tpu.features.text import (
+        HashTokenizer,
+        JaxTextBackbone,
+        LLAMA3p2,
+    )
     from algonauts2025_tpu.models.backbones.llama import LLAMA_3P2_3B, LlamaBackbone
 
     model = LlamaBackbone(LLAMA_3P2_3B)
@@ -82,36 +92,20 @@ def bench_text(words: list[str], contexts: list[str]) -> float:
     jax.block_until_ready(params)
     backbone = JaxTextBackbone(model, params, HashTokenizer(LLAMA_3P2_3B.vocab_size), 0)
 
-    bs = 8
-    # warmup: compile every context-length bucket AND warm the host
-    # tokenizer path (the per-word id cache makes pass 1 the slow one)
-    seen = set()
-    for i in range(0, len(contexts), bs):
-        ids, mask = backbone.encode(contexts[i : i + bs], 1024)
-        key = ids.shape
-        if key not in seen:
-            seen.add(key)
-            backbone.pooled_states(ids, mask, np.ones(ids.shape[0], np.int32))
+    feat = LLAMA3p2()
+    feat.set_backbone(backbone)
+    events = [
+        Word(start=0.5 * i, duration=0.4, text=w, context=c, timeline="bench")
+        for i, (w, c) in enumerate(zip(words, contexts))
+    ]
 
     def one_pass() -> float:
         t0 = time.time()
-        pending = None
-        for i in range(0, len(contexts), bs):
-            chunk = contexts[i : i + bs]
-            ids, mask = backbone.encode(chunk, 1024)
-            n_valid = mask.sum(axis=-1)
-            spans = np.array(
-                [max(1, min(len(w), int(n_valid[j]))) for j, w in enumerate(words[i : i + bs])],
-                dtype=np.int32,
-            )
-            out = backbone.pooled_states_async(ids, mask, spans)  # (L+1, B, D)
-            if pending is not None:
-                np.asarray(pending)
-            pending = out
-        if pending is not None:
-            np.asarray(pending)
+        out = list(feat._compute(events))
+        assert len(out) == len(events)
         return time.time() - t0
 
+    one_pass()  # warmup: compile chain/batch buckets, warm the token cache
     dt = median_pass(one_pass)
     del params, backbone
     gc.collect()
