@@ -72,6 +72,53 @@ def _bucket(n: int, buckets: tp.Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _bucket_width(n: int, buckets: tp.Sequence[int], step: int = 512) -> int:
+    """Static device width for ``n`` elements: bucket table first, then
+    ``step``-multiples beyond the table (never silently truncate)."""
+    width = _bucket(max(1, n), buckets)
+    if n > width:
+        width = -(-n // step) * step
+    return width
+
+
+def _pad_ids(
+    seqs: tp.Sequence[tp.Sequence[int]], width: int, pad_id: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Right-pad token sequences to ``(len(seqs), width)`` ids + mask.
+
+    Keeps the END of over-long sequences (running contexts are
+    left-truncated by contract); empty sequences become a single pad
+    token so every row has >= 1 valid position."""
+    ids = np.full((len(seqs), width), pad_id, dtype=np.int32)
+    mask = np.zeros((len(seqs), width), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        s = list(s[-width:]) if s else [pad_id]
+        ids[i, : len(s)] = s
+        mask[i, : len(s)] = 1
+    return ids, mask
+
+
+def _pipelined_columns(
+    dispatches: tp.Iterable[tuple[tp.Any, int]],
+) -> tp.Iterator[np.ndarray]:
+    """One-deep dispatch pipeline over ``(device_array, count)`` pairs.
+
+    Yields fp32 ``array[:, j]`` columns for each pair, fetching batch i
+    while batch i+1 computes on device — the D2H transfer of the pooled
+    feature stack hides behind the next dispatch's compute."""
+    pending: tuple[tp.Any, int] | None = None
+    for out, count in dispatches:
+        if pending is not None:
+            pooled = np.asarray(pending[0])  # (L+1, B, D)
+            for j in range(pending[1]):
+                yield pooled[:, j].astype(np.float32)
+        pending = (out, count)
+    if pending is not None:
+        pooled = np.asarray(pending[0])
+        for j in range(pending[1]):
+            yield pooled[:, j].astype(np.float32)
+
+
 class JaxTextBackbone(TextBackbone):
     """A flax LlamaBackbone + tokenizer running under jit (bf16)."""
 
@@ -169,27 +216,17 @@ class JaxTextBackbone(TextBackbone):
         return ids
 
     def encode(self, texts: list[str], max_len: int = 1024) -> tuple[np.ndarray, np.ndarray]:
-        seqs = []
-        for t in texts:
-            ids = self._tokenize(t)
-            seqs.append(ids[-max_len:] if len(ids) > max_len else ids)  # left-truncate
+        return self.encode_pretokenized([self._tokenize(t) for t in texts], max_len)
+
+    def encode_pretokenized(
+        self, seqs: tp.Sequence[tp.Sequence[int]], max_len: int = 1024
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """``encode`` for already-tokenized sequences (the chain scanner
+        tokenizes every event up front; demoted runs reuse those ids)."""
+        seqs = [s[-max_len:] if len(s) > max_len else s for s in seqs]  # left-truncate
         longest = max((len(s) for s in seqs), default=1)
-        width = _bucket(max(1, longest), self.BUCKETS)
-        if longest > width:
-            # sequences beyond the bucket table (max_len > BUCKETS[-1]):
-            # extend in 512-token steps instead of silently truncating
-            width = -(-longest // 512) * 512
-        ids = np.full((len(seqs), width), self.pad_id, dtype=np.int32)
-        mask = np.zeros((len(seqs), width), dtype=np.int32)
-        for i, s in enumerate(seqs):
-            if not s:
-                s = [self.pad_id]
-            # the bucket table caps the device width: keep the END of the
-            # sequence (running contexts are left-truncated by contract)
-            s = s[-width:]
-            ids[i, : len(s)] = s  # right padding (reference tokenizer default)
-            mask[i, : len(s)] = 1
-        return ids, mask
+        width = _bucket_width(longest, self.BUCKETS)
+        return _pad_ids(seqs, width, self.pad_id)
 
     def hidden_states(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         out = self._fn(self.params, ids, mask)
@@ -224,16 +261,11 @@ class JaxTextBackbone(TextBackbone):
         separately (causal attention + shared absolute positions), at
         ~1/len(tokens) of the compute.  Returns (L+1, Wbucket, D) on device;
         the caller slices the first len(tokens) rows."""
-        t_len = max(1, len(tokens[-1]))
-        width = _bucket(t_len, self.BUCKETS)
-        if t_len > width:
-            width = -(-t_len // 512) * 512
-        ids = np.full((1, width), self.pad_id, dtype=np.int32)
-        mask = np.zeros((1, width), dtype=np.int32)
-        seq = tokens[-1] if tokens[-1] else [self.pad_id]
-        ids[0, : len(seq)] = seq
-        mask[0, : len(seq)] = 1
-        wb = _bucket(len(tokens), self.WBUCKETS)
+        width = _bucket_width(len(tokens[-1]), self.BUCKETS)
+        ids, mask = _pad_ids([tokens[-1]], width, self.pad_id)
+        # word-count axis: bucket table, then 256-steps beyond it (same
+        # no-silent-truncation contract as the token axis)
+        wb = _bucket_width(len(tokens), self.WBUCKETS, step=256)
         pool = np.zeros((wb, width), dtype=np.float32)
         for i, (tk, span) in enumerate(zip(tokens, spans)):
             length = max(1, len(tk))
@@ -370,13 +402,14 @@ class LLAMA3p2(LayeredFeatureBase):
         cur_e: list = []
         cur_t: list = []
         limit = min(self.max_context_tokens, 4096)  # bound device width
+        max_words = getattr(type(backbone), "WBUCKETS", JaxTextBackbone.WBUCKETS)[-1]
         for e in events:
             ids = backbone.chain_tokenize([e.context or e.text])[0]
             chainable = 0 < len(ids) <= limit
             extends = (
                 bool(cur_e)
                 and chainable
-                and len(cur_e) < JaxTextBackbone.WBUCKETS[-1]
+                and len(cur_e) < max_words
                 and ids[: len(cur_t[-1])] == cur_t[-1]
             )
             if extends:
@@ -415,33 +448,43 @@ class LLAMA3p2(LayeredFeatureBase):
             for is_chain, run, toks in self._chain_runs(backbone, events):
                 if is_chain:
                     spans = [len(e.text) for e in run]
-                    pending: tuple[tp.Any, int] | None = None
-                    for k in range(0, len(run), self.CHAIN_CHUNK):
-                        sub_t = toks[k : k + self.CHAIN_CHUNK]
-                        sub_s = spans[k : k + self.CHAIN_CHUNK]
-                        out = backbone.pooled_states_chain_async(sub_t, sub_s)
-                        if pending is not None:
-                            pooled = np.asarray(pending[0])  # (L+1, Wb, D)
-                            for j in range(pending[1]):
-                                yield pooled[:, j].astype(np.float32)
-                        pending = (out, len(sub_t))
-                    if pending is not None:
-                        pooled = np.asarray(pending[0])
-                        for j in range(pending[1]):
-                            yield pooled[:, j].astype(np.float32)
+
+                    def chain_dispatches(toks=toks, spans=spans, n=len(run)):
+                        for k in range(0, n, self.CHAIN_CHUNK):
+                            sub_t = toks[k : k + self.CHAIN_CHUNK]
+                            out = backbone.pooled_states_chain_async(
+                                sub_t, spans[k : k + self.CHAIN_CHUNK]
+                            )
+                            yield out, len(sub_t)
+
+                    yield from _pipelined_columns(chain_dispatches())
                 else:
-                    yield from self._compute_batched(backbone, run)
+                    yield from self._compute_batched(backbone, run, toks)
             return
         yield from self._compute_batched(backbone, events)
 
     def _compute_batched(
-        self, backbone: tp.Any, events: tp.Sequence[Word]
+        self,
+        backbone: tp.Any,
+        events: tp.Sequence[Word],
+        toks: tp.Sequence[tp.Sequence[int]] | None = None,
     ) -> tp.Iterator[np.ndarray]:
+        """Padded-batch path.  ``toks`` carries the chain scanner's already-
+        computed token ids for demoted runs so the host does not tokenize
+        every context twice (requires ``encode_pretokenized``)."""
         bs = self.batch_size
+        if toks is not None and not hasattr(backbone, "encode_pretokenized"):
+            toks = None
 
-        def prep(chunk):
-            contexts = [e.context or e.text for e in chunk]
-            ids, mask = backbone.encode(contexts, self.max_context_tokens)
+        def prep(lo, hi):
+            chunk = events[lo:hi]
+            if toks is not None:
+                ids, mask = backbone.encode_pretokenized(
+                    toks[lo:hi], self.max_context_tokens
+                )
+            else:
+                contexts = [e.context or e.text for e in chunk]
+                ids, mask = backbone.encode(contexts, self.max_context_tokens)
             # last len(word) valid positions, mean-pooled (reference parity)
             n_valid = mask.sum(axis=-1)
             spans = np.array(
@@ -457,25 +500,18 @@ class LLAMA3p2(LayeredFeatureBase):
             # one-deep pipeline: batch i computes on device while batch i+1
             # tokenizes on the host; the D2H fetch happens one step behind
             # the dispatch
-            pending: tuple[tp.Any, int] | None = None
-            for i in range(0, len(events), bs):
-                chunk = events[i : i + bs]
-                ids, mask, _n_valid, spans = prep(chunk)
-                out = backbone.pooled_states_async(ids, mask, spans)
-                if pending is not None:
-                    pooled = np.asarray(pending[0])  # (L+1, B, D)
-                    for j in range(pending[1]):
-                        yield pooled[:, j].astype(np.float32)
-                pending = (out, len(chunk))
-            if pending is not None:
-                pooled = np.asarray(pending[0])
-                for j in range(pending[1]):
-                    yield pooled[:, j].astype(np.float32)
+            def batched_dispatches():
+                for i in range(0, len(events), bs):
+                    ids, mask, _n_valid, spans = prep(i, i + bs)
+                    out = backbone.pooled_states_async(ids, mask, spans)
+                    yield out, len(events[i : i + bs])
+
+            yield from _pipelined_columns(batched_dispatches())
             return
 
         for i in range(0, len(events), bs):
             chunk = events[i : i + bs]
-            ids, mask, n_valid, spans = prep(chunk)
+            ids, mask, n_valid, spans = prep(i, i + bs)
             if hasattr(backbone, "pooled_states"):
                 pooled = backbone.pooled_states(ids, mask, spans)  # (L+1, B, D)
                 for j, _event in enumerate(chunk):

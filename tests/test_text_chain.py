@@ -78,6 +78,59 @@ def test_chain_breaks_on_non_prefix_contexts(feat):
         np.testing.assert_allclose(c, b, rtol=2e-5, atol=2e-6)
 
 
+def test_chain_kernel_past_word_bucket_table(feat):
+    """pooled_states_chain_async must extend the word-count axis past
+    WBUCKETS[-1] (256-step rounding) instead of crashing — it is public
+    API even though production chunks dispatches to CHAIN_CHUNK words."""
+    bb = feat.backbone
+    toks: list[list[int]] = []
+    cur: list[int] = []
+    n = bb.WBUCKETS[-1] + 3
+    for i in range(n):
+        cur = cur + [1 + (i % 100)]
+        toks.append(list(cur))
+    spans = [1] * n
+    out = np.asarray(bb.pooled_states_chain_async(toks, spans))
+    assert out.shape[1] >= n
+    # word i pools exactly its last token's states: check one past the table
+    ids, mask = bb.encode_pretokenized([toks[-1]], max_len=4096)
+    states = bb.hidden_states(ids, mask)  # (L+1, 1, T, D)
+    np.testing.assert_allclose(
+        out[:, n - 1], states[:, 0, n - 1], rtol=2e-5, atol=2e-6
+    )
+
+
+def test_encode_pretokenized_matches_encode(feat):
+    bb = feat.backbone
+    texts = ["the quick brown fox", "over a lazy dog near misty hills", "hi"]
+    ids_a, mask_a = bb.encode(texts, 6)  # forces left-truncation too
+    ids_b, mask_b = bb.encode_pretokenized(
+        [bb._tokenize(t) for t in texts], 6
+    )
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_array_equal(mask_a, mask_b)
+
+
+def test_demoted_runs_reuse_chain_tokens(feat, monkeypatch):
+    """Runs demoted to the batched path must NOT re-tokenize: the chain
+    scanner already computed every event's token ids."""
+    events = _word_events(20, context_cap=4)  # sliding windows -> demotion
+    bb = feat.backbone
+    ref = [np.asarray(x) for x in feat._compute_batched(bb, events)]
+    calls = {"n": 0}
+    orig = type(bb)._tokenize
+
+    def counting(self, t):
+        calls["n"] += 1
+        return orig(self, t)
+
+    monkeypatch.setattr(type(bb), "_tokenize", counting)
+    out = [np.asarray(x) for x in feat._compute(events)]
+    assert calls["n"] == len(events)  # once per event, in the scanner only
+    for c, b in zip(out, ref):
+        np.testing.assert_allclose(c, b, rtol=2e-5, atol=2e-6)
+
+
 def test_single_word_and_empty_context(feat):
     events = [
         Word(start=0.0, duration=0.4, text="hi", context="hi", timeline="t"),
