@@ -257,8 +257,9 @@ class VJEPA2(LayeredFeatureBase):
     #: bust warm feature caches when compute semantics change with no
     #: config change: "1" = r3 decode/resize parity fixes (moviepy floor
     #: frame indexing in io/video.py, torchvision antialias + truncated
-    #: long edge in ops/video_prep.py) altered cached values
-    _cache_impl_version: tp.ClassVar[str] = "1"
+    #: long edge in ops/video_prep.py); "2" = center-crop banker's-rounding
+    #: offset parity (one-pixel shift for half the odd resize diffs)
+    _cache_impl_version: tp.ClassVar[str] = "2"
 
     _backbone: VideoBackbone | None = pydantic.PrivateAttr(default=None)
 

@@ -144,6 +144,10 @@ class LlamaBackbone(nn.Module):
 
     Layers run under nn.scan with stacked (L, ...) params: one compiled
     layer body regardless of depth (compile latency matters at 3B scale).
+
+    ``attention_mask`` must be RIGHT-padded (1s then 0s); rows violating
+    the contract return NaN states on every backend (the TPU flash path
+    could not honor them and a silent CPU/TPU divergence is worse).
     """
 
     cfg: LlamaConfig
@@ -164,7 +168,7 @@ class LlamaBackbone(nn.Module):
             name="embed_tokens",
         )
         x = embed(input_ids)
-        positions = jnp.cumsum(attention_mask, axis=-1) - 1  # left-pad tolerant
+        positions = jnp.cumsum(attention_mask, axis=-1) - 1
         positions = jnp.maximum(positions, 0)
         causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
         pad = attention_mask[:, None, None, :].astype(bool)
@@ -183,6 +187,16 @@ class LlamaBackbone(nn.Module):
             length=cfg.num_layers,
         )
         lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
+        # CONTRACT: masks are right-padded (all callers pad via _pad_ids).
+        # The TPU flash path masks columns >= lengths, which is only correct
+        # for right padding; rather than let a left-padded mask silently
+        # attend to pad tokens on TPU while the XLA fallback stays correct,
+        # poison violating rows with NaN on every backend.
+        right_padded = jnp.all(
+            attention_mask.astype(bool) == (jnp.arange(t)[None] < lengths[:, None]),
+            axis=-1,
+        )
+        x = jnp.where(right_padded[:, None, None], x, jnp.nan)
         (x, _, _, _, _), layer_states = ScannedLayer(cfg, name="layers")(
             (x, cos, sin, mask, lengths), None
         )

@@ -91,9 +91,10 @@ class LayerScale(nn.Module):
 class Mlp(nn.Module):
     """Linear stack with optional norm/activation/dropout per layer.
 
-    Matches the reference MlpConfig semantics (common.py:86-141): no
-    hidden sizes -> a bare Linear; otherwise norm -> activation -> dropout
-    after each hidden layer.
+    Matches the reference MlpConfig semantics (common.py:120-141): no
+    hidden sizes -> a bare Linear (no dropout); otherwise torchvision MLP
+    layout — norm -> activation -> dropout after each hidden layer AND a
+    trailing dropout after the final linear.
     """
 
     hidden_sizes: tp.Sequence[int]
@@ -139,6 +140,10 @@ class Mlp(nn.Module):
                     x = acts[self.activation_layer](x)
                 if self.dropout > 0:
                     x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            elif self.hidden_sizes and self.dropout > 0:
+                # torchvision MLP ends with Dropout after the final Linear;
+                # the bare-Linear build (no hidden sizes) has none
+                x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
 

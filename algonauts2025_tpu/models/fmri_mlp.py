@@ -61,7 +61,13 @@ class _ActNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        act = nn.relu if self.norm_type == "bn" else nn.gelu
+        # exact-erf gelu: torch nn.GELU default (reference fmri_mlp.py:87);
+        # the flax default approximate=True diverges ~1e-3 per layer
+        act = (
+            nn.relu
+            if self.norm_type == "bn"
+            else lambda v: nn.gelu(v, approximate=False)
+        )
         # BatchNorm-free design: LayerNorm everywhere (stateless under jit;
         # batch statistics are hostile to SPMD training anyway)
         if self.act_first:

@@ -208,8 +208,10 @@ class _BlockWrapper(nn.Module):
         if self.remat:
             # full remat: selective save_only_these_names("attn_out") was
             # measured to OOM at flagship shapes (params+opt state leave
-            # <464 MB of headroom; the policy needs 58 MB x 8 layers more)
-            block_cls = nn.remat(EncoderBlock, static_argnums=(2, 3))
+            # <464 MB of headroom; the policy needs 58 MB x 8 layers more).
+            # Only `deterministic` (arg 2) is static — the causal mask is a
+            # traced array and jax.checkpoint requires hashable statics
+            block_cls = nn.remat(EncoderBlock, static_argnums=(2,))
         x = block_cls(
             dim=self.dim,
             heads=self.heads,
@@ -248,9 +250,34 @@ class TransformerEncoderConfig(pydantic.BaseModel):
     scale_residual: bool = True
     layer_dropout: float = 0.0
 
+    #: accepted-for-parity fields whose non-default values would build a
+    #: DIFFERENT architecture in the reference (it forwards them all to
+    #: x_transformers) — fail loudly instead of training the wrong model.
+    #: ``attn_flash`` is deliberately absent: it selects a kernel, not an
+    #: architecture, and our attention is always the fused kernel.
+    _UNSUPPORTED_DEFAULTS: tp.ClassVar[dict[str, tp.Any]] = {
+        "cross_attend": False,
+        "use_rmsnorm": False,
+        "rel_pos_bias": False,
+        "alibi_pos_bias": False,
+        "rotary_xpos": False,
+        "residual_attn": False,
+        "layer_dropout": 0.0,
+    }
+
     def build(self, dim: int) -> TransformerEncoder:
         if dim % self.heads != 0:
             raise ValueError(f"dim ({dim}) must be divisible by heads ({self.heads})")
+        engaged = {
+            k for k, v in self._UNSUPPORTED_DEFAULTS.items() if getattr(self, k) != v
+        }
+        if engaged:
+            raise NotImplementedError(
+                f"TransformerEncoderConfig fields {sorted(engaged)} change the "
+                "architecture in the reference (x_transformers) but are not "
+                "implemented by this trunk; refusing to silently build a "
+                "different model"
+            )
         return TransformerEncoder(
             dim=dim,
             depth=self.depth,

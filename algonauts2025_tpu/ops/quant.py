@@ -30,6 +30,20 @@ __all__ = [
 ]
 
 
+def _static_scale(s, poison_if: jax.Array | None = None) -> jax.Array:
+    """Validate a calibrated static activation scale.
+
+    a_scale == 0 is the "uncalibrated" sentinel (see calibrate_quant_scales);
+    running the static path with it would saturate every activation to
+    +/-127 and emit plausible finite garbage.  Poison the scale with NaN
+    instead so the output is loudly wrong (NaN propagates through the
+    in-kernel dequant multiply).  ``poison_if`` lets coupled scales (the
+    fused MLP's x/h pair) poison together."""
+    s = jnp.asarray(s, jnp.float32)
+    bad = s <= 0 if poison_if is None else poison_if
+    return jnp.where(bad, jnp.nan, jnp.maximum(s, 1e-12))
+
+
 def quantize_weight(w: np.ndarray | jax.Array) -> tuple[jax.Array, jax.Array]:
     """(K, N) float weights -> (int8 (K, N), fp32 per-column scale (N,)).
 
@@ -70,7 +84,7 @@ def int8_matmul(
         sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
         sx = jnp.maximum(sx, 1e-12)
     else:
-        sx = jnp.maximum(jnp.asarray(x_scale, jnp.float32), 1e-12)
+        sx = _static_scale(x_scale)
     x_q = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_q, w_q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -163,7 +177,7 @@ def int8_matmul_fused(
     if bias is None:
         bias = jnp.zeros((n,), jnp.float32)
 
-    sx = jnp.maximum(jnp.asarray(x_scale, jnp.float32), 1e-12).reshape(1)
+    sx = _static_scale(x_scale).reshape(1)
     grid = (mp // bm, n // bn, kdim // bk)
     out = pl.pallas_call(
         _fused_w8a8_kernel,
@@ -291,10 +305,15 @@ def int8_mlp_fused(
     if mp != m:
         xf = jnp.pad(xf, ((0, mp - m), (0, 0)))
 
+    # coupled poisoning: either scale uncalibrated -> both NaN, so the
+    # output is NaN even though int8 casts in between would launder one
+    bad = (jnp.asarray(x_scale, jnp.float32) <= 0) | (
+        jnp.asarray(h_scale, jnp.float32) <= 0
+    )
     sc = jnp.stack(
         [
-            jnp.maximum(jnp.asarray(x_scale, jnp.float32), 1e-12),
-            jnp.maximum(jnp.asarray(h_scale, jnp.float32), 1e-12),
+            _static_scale(x_scale, poison_if=bad),
+            _static_scale(h_scale, poison_if=bad),
         ]
     )
     whole = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))

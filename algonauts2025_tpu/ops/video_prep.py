@@ -43,8 +43,11 @@ def preprocess_frames(frames: jax.Array, crop_size: int = 256) -> jax.Array:
         new_h, new_w = int(resize_size * h / w), resize_size
     x = frames.astype(jnp.float32)
     x = jax.image.resize(x, (t, new_h, new_w, c), method="bilinear", antialias=True)
-    top = (new_h - crop_size) // 2
-    left = (new_w - crop_size) // 2
+    # torchvision center_crop: int(round(diff / 2.0)) — Python banker's
+    # rounding, so an odd diff rounds its .5 to the EVEN offset (391->68,
+    # 389->66); floor division is one pixel off for half the odd diffs
+    top = int(round((new_h - crop_size) / 2.0))
+    left = int(round((new_w - crop_size) / 2.0))
     x = jax.lax.dynamic_slice(
         x, (0, top, left, 0), (t, crop_size, crop_size, c)
     )

@@ -48,11 +48,6 @@ def param_spec(path: str, shape: tuple[int, ...], model_axes: int) -> P:
     return P()
 
 
-def _paths(tree: tp.Any) -> tp.Any:
-    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return flat
-
-
 def state_shardings(state: tp.Any, mesh: Mesh) -> tp.Any:
     """A TrainState-shaped pytree of NamedShardings.
 

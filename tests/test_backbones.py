@@ -223,3 +223,21 @@ def test_mel_frontend_parity():
     ours = np.asarray(log_mel_features(jnp.asarray(wav)))
     assert ours.shape == ref_feats.shape
     np.testing.assert_allclose(ours, ref_feats, atol=2e-3, rtol=1e-3)
+
+
+def test_llama_right_padding_contract_poisons_left_pad(small_llama):
+    """Masks must be right-padded: the TPU flash path masks columns >=
+    lengths, so a left-padded row would silently attend to pad tokens on
+    TPU while the XLA fallback stayed correct.  The backbone NaN-poisons
+    violating rows on every backend instead."""
+    import jax
+
+    _hf, model, _cfg = small_llama
+    ids = np.array([[1, 5, 9, 2, 0, 0], [0, 0, 4, 8, 15, 16]], dtype=np.int32)
+    mask = np.array([[1, 1, 1, 1, 0, 0], [0, 0, 1, 1, 1, 1]], dtype=np.int32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))["params"]
+    out = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    )
+    assert np.isfinite(out[:, 0]).all()  # right-padded row: normal states
+    assert np.isnan(out[1:, 1]).all()  # left-padded row: loudly poisoned

@@ -526,3 +526,65 @@ def test_trainer_end_to_end(tmp_path):
     assert (tmp_path / "last.ckpt").exists()
     start_epoch = trainer.load_checkpoint(tmp_path / "last.ckpt")
     assert start_epoch >= 24
+
+
+def test_transformer_config_rejects_unsupported_parity_fields():
+    """Fields the reference forwards to x_transformers (changing the
+    architecture) must fail loudly, not silently build a rotary/ScaleNorm
+    trunk under a config that claims otherwise."""
+    TransformerEncoderConfig(depth=2, heads=4).build(64)  # defaults fine
+    for field, value in [
+        ("use_rmsnorm", True),
+        ("rel_pos_bias", True),
+        ("alibi_pos_bias", True),
+        ("rotary_xpos", True),
+        ("residual_attn", True),
+        ("cross_attend", True),
+        ("layer_dropout", 0.25),
+    ]:
+        cfg = TransformerEncoderConfig(depth=2, heads=4, **{field: value})
+        with pytest.raises(NotImplementedError, match=field):
+            cfg.build(64)
+    # attn_flash is a kernel choice, not an architecture change: accepted
+    TransformerEncoderConfig(depth=2, heads=4, attn_flash=True).build(64)
+
+
+def test_causal_remat_trunk_trains(rng):
+    """nn.remat must not declare the causal mask static (jax.checkpoint
+    rejects traced statics): causal=True + remat=True forward AND grad."""
+    from algonauts2025_tpu.models.transformer import TransformerEncoder
+
+    enc = TransformerEncoder(dim=32, depth=2, heads=4, causal=True, remat=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 12, 32)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p):
+        return enc.apply({"params": p}, x).sum()
+
+    g = jax.jit(jax.grad(loss))(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert flat and all(np.isfinite(np.asarray(l)).all() for l in flat)
+
+
+def test_mlp_trailing_dropout_parity():
+    """torchvision MLP ends with Dropout after the final Linear; the
+    bare-Linear build (no hidden sizes) has none (reference common.py
+    MlpConfig.build)."""
+    from algonauts2025_tpu.models.common import Mlp
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8)), jnp.float32)
+    m = Mlp(hidden_sizes=[16], output_size=64, dropout=0.5)
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    y = m.apply(
+        {"params": params}, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    zero_frac = float(np.mean(np.asarray(y) == 0.0))
+    assert 0.2 < zero_frac < 0.8  # trailing dropout zeroes ~half the outputs
+    bare = Mlp(hidden_sizes=[], output_size=64, dropout=0.5)
+    bparams = bare.init(jax.random.PRNGKey(0), x)["params"]
+    yb = bare.apply(
+        {"params": bparams}, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert float(np.mean(np.asarray(yb) == 0.0)) == 0.0  # bare Linear: no dropout

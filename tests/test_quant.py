@@ -197,3 +197,38 @@ def test_gelu_erf_approx_accuracy():
     ref = np.asarray(jax.nn.gelu(x, approximate=False))
     got = np.asarray(_gelu_erf_approx(x))
     assert np.abs(got - ref).max() < 2e-6
+
+
+def test_uncalibrated_static_scale_poisons_with_nan(rng):
+    """a_scale == 0 (the uncalibrated sentinel) must produce NaN, not the
+    plausible finite garbage of everything saturating to +/-127 — cached
+    features would be silently poisoned otherwise."""
+    from algonauts2025_tpu.ops.quant import int8_matmul_fused, int8_mlp_fused
+
+    m, k, n = 32, 256, 128
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32)).astype(jnp.bfloat16)
+    w_q, w_scale = quantize_weight(rng.standard_normal((k, n)).astype(np.float32))
+    zero = jnp.float32(0.0)
+    out = np.asarray(int8_matmul(x, w_q, w_scale, x_scale=zero))
+    assert np.isnan(out).all()
+    out = np.asarray(
+        int8_matmul_fused(x, w_q, w_scale, zero, out_dtype=jnp.float32, interpret=True)
+    )
+    assert np.isnan(out).all()
+    # fused MLP: either scale zero poisons the OUTPUT even though the int8
+    # cast in between could launder a NaN hidden state
+    w2q, s2 = quantize_weight(rng.standard_normal((n, k)).astype(np.float32))
+    b1 = jnp.zeros((n,), jnp.float32)
+    b2 = jnp.zeros((k,), jnp.float32)
+    good = jnp.float32(np.abs(np.asarray(x, np.float32)).max() / 127.0)
+    for sx, sh in [(zero, good), (good, zero)]:
+        out = np.asarray(
+            int8_mlp_fused(
+                x, w_q, w_scale, b1, w2q, s2, b2, sx, sh,
+                bm=32, fchunk=128, out_dtype=jnp.float32, interpret=True,
+            )
+        )
+        assert np.isnan(out).all(), (float(sx), float(sh))
+    # dynamic path (x_scale=None) is unaffected
+    out = np.asarray(int8_matmul(x, w_q, w_scale))
+    assert np.isfinite(out).all()

@@ -167,3 +167,26 @@ def test_fmri_event_orientation_validation(tmp_path):
     np.save(p_trunc, data_tp[: n_t - 1])
     out3 = make_event(p_trunc).read()
     assert out3.shape == (n_p, n_t - 1)
+
+
+def test_center_crop_bankers_rounding_offsets():
+    """torchvision center_crop offsets are int(round(diff/2.0)) — Python
+    banker's rounding, so odd diffs round their .5 to the EVEN offset.
+    Shapes whose shortest edge already equals the resize size make the
+    resize an identity, exposing the crop offset exactly."""
+    import jax.numpy as jnp
+
+    from algonauts2025_tpu.ops.video_prep import IMAGENET_MEAN, IMAGENET_STD
+
+    from algonauts2025_tpu.ops.video_prep import preprocess_frames
+
+    for width, want_left in [(391, 68), (389, 66)]:  # round(67.5)=68, round(66.5)=66
+        col = (np.arange(width) % 251).astype(np.uint8)
+        frames = np.broadcast_to(col[None, None, :, None], (1, 292, width, 3))
+        out = np.asarray(preprocess_frames(jnp.asarray(frames), crop_size=256))
+        # denormalize channel 0 of the first output column back to 0..255
+        v = (out[0, 0, 0, 0] * IMAGENET_STD[0] + IMAGENET_MEAN[0]) * 255.0
+        # expected offsets follow torchvision center_crop's formula
+        # int(round((W - 256) / 2.0)) (torchvision is not installed here;
+        # the formula is pinned in ops/video_prep.py's docstring)
+        assert abs(v - want_left) < 0.35, (width, v, want_left)
