@@ -96,15 +96,17 @@ class CachedMap:
         store = self.store
         uids = [self.item_uid(it) for it in items]
         if store is None:
-            # no folder: RAM-only cache for the lifetime of this object
-            missing = [
-                (u, it)
-                for u, it in zip(uids, items)
-                if u not in self._ram_only
-            ]
+            # no folder: RAM-only cache for the lifetime of this object.
+            # Dedupe within the call too (first appearance wins, like the
+            # store path): duplicate uids — e.g. every unmatched word with
+            # an empty context — must not pay a backbone forward each
+            missing: dict[str, tp.Any] = {}
+            for u, it in zip(uids, items):
+                if u not in self._ram_only and u not in missing:
+                    missing[u] = it
             if missing:
-                results = self.fn([it for _, it in missing])
-                for (u, _), arr in zip(missing, results):
+                results = self.fn(list(missing.values()))
+                for u, arr in zip(missing, results):
                     self._ram_only[u] = np.asarray(arr)
             return [self._ram_only[u] for u in uids]
 

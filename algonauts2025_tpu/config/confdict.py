@@ -97,6 +97,11 @@ class ConfDict(dict):
             if isinstance(v, tp.Mapping) and k in self and isinstance(self.get(k.split(".")[0]), dict):
                 # deep-merge nested mappings
                 for fk, fv in _flatten({k: v}).items():
+                    if isinstance(fv, tp.Mapping) and not fv and fk in self:
+                        # merging an EMPTY mapping into an existing subtree
+                        # is a no-op (e.g. a grid entry with no infra
+                        # overrides) — assigning would wipe the subtree
+                        continue
                     self[fk] = fv
             else:
                 self[k] = v

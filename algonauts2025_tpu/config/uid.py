@@ -81,9 +81,39 @@ def dump_for_uid(
     data = {
         name: _convert_field(model, name, getattr(model, name))
         for name in type(model).model_fields
-        if name not in excluded
+        if name not in excluded and not _is_default(model, name)
     }
     return _normalize(data)
+
+
+def _is_default(model: pydantic.BaseModel, name: str) -> bool:
+    """True when the field currently holds its default VALUE.
+
+    Default-valued fields are dropped from the uid dump (the reference's
+    exca contract — see the ``exclude_defaults`` serializer branch in
+    reference enhancers.py:73): adding a new config field with a default
+    must not invalidate every existing cache, and explicitly passing the
+    default is identical to omitting it.  The ``name`` discriminator is
+    always kept — nested features of different classes must never collapse
+    onto the same uid just because their other fields coincide."""
+    if name == "name":
+        return False
+    field = type(model).model_fields[name]
+    if field.is_required():
+        return False
+    try:
+        default = field.get_default(call_default_factory=True)
+        value = getattr(model, name)
+        if isinstance(value, pydantic.BaseModel) and isinstance(
+            default, pydantic.BaseModel
+        ):
+            # compare UNDER the exclusion contract: a nested model differing
+            # only in its own uid-excluded fields (e.g. a feature's
+            # `device`) is still "default" for cache identity
+            return dump_for_uid(value) == dump_for_uid(default)
+        return bool(value == default)
+    except Exception:
+        return False
 
 
 def config_uid(

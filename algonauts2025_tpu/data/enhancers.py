@@ -147,7 +147,12 @@ def _sentence_groups(words: pd.DataFrame) -> np.ndarray:
     """Group id per word row: a new group starts at a timeline change, a
     sentence-text change, or a non-increasing sentence_char.  The final row
     never opens a group of its own (reference loop quirk: the last word is
-    absorbed into the previous sentence)."""
+    appended to ``words`` before the boundary checks, so it compares with
+    itself and is absorbed into the previous sentence — EVEN ACROSS A
+    TIMELINE BOUNDARY, where the resulting cross-timeline Sentence can have
+    a negative duration and raise ValidationError; verified byte-identical
+    to the reference on both the corrupt-sentence and raising variants,
+    tests/test_reference_oracle.py)."""
     n = len(words)
     timelines = words.timeline.to_numpy()
     starts = words.start.to_numpy()

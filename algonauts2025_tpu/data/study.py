@@ -90,13 +90,24 @@ class BaseData(pydantic.BaseModel):
 
     @final
     @classmethod
-    def iter_timelines(cls, path: PathLike) -> Iterator["BaseData"]:
+    def resolve_root(cls, path: PathLike) -> Path:
+        """Dataset root for this study: ``path`` itself, or a nested
+        ``path/<StudyName>`` directory when the study lives one level down.
+        Shared by timeline discovery and anything else that reads files
+        relative to the dataset (e.g. submission sample counts) so they
+        cannot disagree about where the data is."""
         root = Path(path)
-        root.mkdir(parents=True, exist_ok=True)
         study = cls.__name__
         if root.name.lower() != study.lower():
             nested = [root / study, root / study.lower()]
             root = next((p for p in nested if p.exists()), root)
+        return root
+
+    @final
+    @classmethod
+    def iter_timelines(cls, path: PathLike) -> Iterator["BaseData"]:
+        Path(path).mkdir(parents=True, exist_ok=True)
+        root = cls.resolve_root(path)
         empty = True
         for timeline in cls._iter_timelines(root):
             empty = False
@@ -204,8 +215,9 @@ class StudyLoader(pydantic.BaseModel):
         timelines = list(self.iter_timelines())
         if self.query is None:
             return timelines
-        chosen = self.study_summary(apply_query=False).query(self.query)
-        return [timelines[i] for i in chosen.index]
+        # study_summary applies the configured query; the surviving rows'
+        # (preserved) positional index selects the timelines
+        return [timelines[i] for i in self.study_summary().index]
 
     def _load_one(self, tl: BaseData, store: Optional[FrameStore]) -> pd.DataFrame:
         TIMELINES[tl.timeline] = tl

@@ -51,6 +51,14 @@ class Data(pydantic.BaseModel):
     layer_aggregation: tp.Literal["group_mean"] | None = None
     num_workers: int = 0
     batch_size: int = 16
+    #: drop the final partial TRAIN batch each epoch.  Default False =
+    #: reference parity (torch DataLoader drop_last=False trains the tail
+    #: batch at a smaller B).  On TPU a tail batch costs one extra
+    #: (persistent-cached) XLA compile for its shape, and under a device
+    #: mesh it falls back to replicated placement when it does not divide
+    #: the data axis — set True for a single-executable training loop.
+    #: Val/test always keep every sample (evaluation must be exact).
+    drop_last: bool = False
     pad_duration: float | None = WINDOW_SECONDS
 
     _subject_encoder: SubjectEncoder = pydantic.PrivateAttr(default=None)

@@ -171,8 +171,8 @@ class Experiment(pydantic.BaseModel):
         metrics = {}
         for split in ["val", "test"]:
             for mc in self.metrics:
-                # (MultidimPearsonCorrCoef infers the voxel dim from its
-                # first update; no num_outputs plumbing needed)
+                # (metrics infer the voxel dim from their first update; a
+                # config-declared num_outputs is validated there instead)
                 metrics[f"{split}/{mc.log_name}"] = build_metric(mc, n_groups=n_subjects)
 
         mesh = self._mesh()
@@ -249,6 +249,7 @@ class Experiment(pydantic.BaseModel):
                     shuffle=True,
                     seed=(self.seed or 0) + epoch,
                     num_workers=num_workers,
+                    drop_remainder=self.data.drop_last,
                 ),
                 sharding=trainer.batch_sharding,
             )
@@ -342,7 +343,10 @@ class Experiment(pydantic.BaseModel):
                 pred = preds[i].T  # (T, n_outputs)
                 submission.setdefault(subject, {}).setdefault(chunk, []).append(pred)
 
-        root = Path(self.data.study.path) / "download" / "algonauts_2025.competitors"
+        # same nested-directory resolution as timeline discovery — a parent
+        # study path must not train fine and then crash at submission time
+        study_root = self.data.study.study_cls().resolve_root(self.data.study.path)
+        root = study_root / "download" / "algonauts_2025.competitors"
         out: dict[str, dict[str, np.ndarray]] = {}
         for subject, chunks in submission.items():
             # merge the target sample counts of every season this subject's

@@ -44,6 +44,10 @@ class RunArtifacts:
     pearson: tp.Optional[np.ndarray]  # per-voxel validation r
 
     @property
+    def has_score(self) -> bool:
+        return "val/pearson" in self.metrics.columns and len(self.metrics) > 0
+
+    @property
     def score(self) -> float:
         return float(self.metrics["val/pearson"].item())
 
@@ -158,7 +162,30 @@ def average_submissions(
         raise RuntimeError(f"No submissions under {grid_path}")
 
     with ThreadPoolExecutor(max_workers=10) as pool:
-        runs = [r for r in pool.map(_read_run, paths) if r is not None]
+        loaded = list(zip(paths, pool.map(_read_run, paths)))
+    loaded = [(p, r) for p, r in loaded if r is not None]
+    if not loaded:
+        raise RuntimeError(
+            f"All {len(paths)} submission zips under {grid_path} failed to "
+            "load (see warnings above)"
+        )
+    if weigh_by_score and not per_voxel_weights:
+        # the degrade-never-abort contract (_read_run): a run whose
+        # metrics.csv was corrupt has no score — SKIP it loudly rather than
+        # crash the whole ensemble on one partially-written folder
+        scoreless = [p for p, r in loaded if not r.has_score]
+        if scoreless:
+            logger.warning(
+                "Dropping %d run(s) with unreadable/missing val/pearson "
+                "from the score-weighted ensemble: %s",
+                len(scoreless), scoreless,
+            )
+            loaded = [(p, r) for p, r in loaded if r.has_score]
+        if not loaded:
+            raise RuntimeError(
+                "weigh_by_score=True but no run has a readable val/pearson"
+            )
+    runs = [r for _p, r in loaded]
 
     if k_most_diverse is not None:
         picked = get_k_most_diverse_indices([r.predictions for r in runs],

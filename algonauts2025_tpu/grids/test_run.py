@@ -47,6 +47,12 @@ def _synthesize_if_needed(cfg: ConfDict, tmp_root: str | None) -> None:
     root = Path(tmp_root or os.path.join(cfg["infra.folder"], "synthetic_data"))
     cfg.update(dict(_TINY_BACKBONES))
     cfg["data.study.path"] = str(make_synthetic_study(root, with_video=True))
+    # the defaults declare num_outputs=1000 (the real dataset's parcel
+    # count, validated at update time like torchmetrics); the synthetic
+    # study has fewer parcels — let the metrics infer the voxel dim
+    for metric in cfg.get("metrics", []):
+        if isinstance(metric, dict):
+            metric.get("kwargs", {}).pop("num_outputs", None)
 
 
 def build_test_config(tmp_root: str | None = None) -> dict:

@@ -133,8 +133,11 @@ class VideoClip:
         return self._read_abs_frame(idx)
 
     def iter_frames(self) -> tp.Iterator[np.ndarray]:
+        """All frames of the clip, starting at the same frame
+        ``get_frame(0.0)`` returns (moviepy floor convention — round()
+        disagreed by one frame for half of all non-integer-fps offsets)."""
         n = int(round(self.duration * self.fps))
-        start = int(round(self.offset * self.fps))
+        start = int(self.offset * self.fps + 1e-5)
         for i in range(n):
             yield self._read_abs_frame(start + i)
 

@@ -77,7 +77,11 @@ class Metric:
 class MultidimPearsonCorrCoef(Metric):
     """Mean of per-voxel Pearson r over flattened (N, D) predictions."""
 
-    def __init__(self, num_outputs: int = 1000):
+    def __init__(self, num_outputs: int | None = None):
+        # None = infer the voxel dim from the first update.  When a config
+        # supplies it explicitly it is validated (torchmetrics
+        # PearsonCorrCoef raises on a num_outputs/input mismatch too —
+        # silently discarding the kwarg hid misconfigured metrics)
         self.num_outputs = num_outputs
         self.reset()
 
@@ -87,6 +91,11 @@ class MultidimPearsonCorrCoef(Metric):
     def update(self, preds, target, groups=None) -> None:
         preds = preds.reshape(-1, preds.shape[-1])
         target = target.reshape(-1, target.shape[-1])
+        if self.num_outputs is not None and preds.shape[-1] != self.num_outputs:
+            raise ValueError(
+                f"MultidimPearsonCorrCoef(num_outputs={self.num_outputs}) "
+                f"got predictions with {preds.shape[-1]} outputs"
+            )
         if self._state is None:
             self._state = init_pearson_state(preds.shape[-1])
         self._state = _jit_update(self._state, preds, target)
@@ -116,8 +125,12 @@ class GroupedPearson(Metric):
 
     needs_groups = True
 
-    def __init__(self, n_groups: int, num_outputs: int = 1000):
+    def __init__(self, n_groups: int, num_outputs: int | None = None):
         self.n_groups = n_groups
+        # the voxel dim is otherwise inferred from the first update; when a
+        # config supplies it explicitly it must MEAN something — validate
+        # instead of silently discarding the kwarg
+        self.num_outputs = num_outputs
         self.reset()
 
     def reset(self) -> None:
@@ -126,6 +139,11 @@ class GroupedPearson(Metric):
     def update(self, preds, target, groups=None) -> None:
         preds = preds.reshape(-1, preds.shape[-1])
         target = target.reshape(-1, target.shape[-1])
+        if self.num_outputs is not None and preds.shape[-1] != self.num_outputs:
+            raise ValueError(
+                f"GroupedPearson(num_outputs={self.num_outputs}) got "
+                f"predictions with {preds.shape[-1]} outputs"
+            )
         if groups is None:
             groups = jnp.zeros((preds.shape[0],), jnp.int32)
         groups = groups.reshape(-1).astype(jnp.int32)

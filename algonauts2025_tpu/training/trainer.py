@@ -361,15 +361,22 @@ class BrainTrainer:
             improved = monitored is not None and (
                 monitored > best if cfg.monitor_mode == "max" else monitored < best
             )
+            # one host fetch serves both "best" and "last" writes; skip it
+            # entirely when checkpointing is disabled (no folder)
+            host_state = None
+            if self.state is not None and (
+                self._ckpt_dir("best") is not None or self._ckpt_dir("last") is not None
+            ):
+                host_state = jax.device_get(self.state)
             if improved:
                 best = monitored
                 bad_epochs = 0
                 self._best, self._bad_epochs = best, bad_epochs
-                self.save_checkpoint("best")
+                self.save_checkpoint("best", host_state=host_state)
             else:
                 bad_epochs += 1
             self._best, self._bad_epochs = best, bad_epochs
-            self.save_checkpoint("last", epoch=epoch)
+            self.save_checkpoint("last", epoch=epoch, host_state=host_state)
             # Lightning EarlyStopping stops after `patience` consecutive
             # non-improving validations (wait_count >= patience)
             if cfg.patience is not None and bad_epochs >= cfg.patience:
@@ -488,7 +495,13 @@ class BrainTrainer:
             return None
         return Path(self.config.folder) / f"{name}.ckpt"
 
-    def save_checkpoint(self, name: str, epoch: int | None = None) -> None:
+    def save_checkpoint(
+        self, name: str, epoch: int | None = None, host_state: tp.Any = None
+    ) -> None:
+        """``host_state``: an already-fetched host copy of ``self.state`` —
+        an improving epoch writes "best" then "last", and a second
+        device_get of the full params+optimizer state (~GBs) over a slow
+        D2H link must not be paid twice."""
         path = self._ckpt_dir(name)
         if path is None or self.state is None:
             return
@@ -499,7 +512,9 @@ class BrainTrainer:
                     "swa_count": self._swa_count,
                     "best": float(self._best) if self._best is not None else float("nan"),
                     "bad_epochs": self._bad_epochs}
-            payload = {"state": jax.device_get(self.state), "meta": meta}
+            if host_state is None:
+                host_state = jax.device_get(self.state)
+            payload = {"state": host_state, "meta": meta}
             if self._swa_params is not None:
                 payload["swa_params"] = self._swa_params
             ckptr.save(path.resolve(), payload, force=True)

@@ -267,3 +267,81 @@ def test_empty_job_array_raises(tmp_path):
     with pytest.raises(RuntimeError, match="Empty job array"):
         with infra.job_array():
             pass
+
+
+def test_uid_ignores_default_valued_fields():
+    """exca contract (reference enhancers.py:73 exclude_defaults): a new
+    config field with a default must NOT invalidate existing caches, and
+    explicitly passing the default is identical to omitting it."""
+    import typing as tp
+
+    from algonauts2025_tpu.config.uid import config_uid
+
+    class Cfg(pydantic.BaseModel):
+        x: int = 3
+        y: str = "a"
+
+    base_uid = config_uid(Cfg())
+
+    class Cfg(pydantic.BaseModel):  # noqa: F811  same name, one new field
+        x: int = 3
+        y: str = "a"
+        z: float = 0.5  # newly added, defaulted
+
+    assert config_uid(Cfg()) == base_uid  # old caches stay valid
+    assert config_uid(Cfg(x=3, y="a")) == base_uid  # explicit default == omitted
+    assert config_uid(Cfg(z=0.7)) != base_uid  # non-default engages
+
+    class Named(pydantic.BaseModel):
+        name: tp.Literal["A"] = "A"
+        v: int = 1
+
+    class Named2(pydantic.BaseModel):
+        name: tp.Literal["B"] = "B"
+        v: int = 1
+
+    # the name discriminator is always kept: nested features of different
+    # classes must not collapse to the same dump
+    from algonauts2025_tpu.config.uid import dump_for_uid
+
+    assert dump_for_uid(Named()) != dump_for_uid(Named2())
+
+
+def test_confdict_empty_mapping_merge_is_noop():
+    """Merging an empty mapping into an existing subtree (a grid entry
+    with no overrides for that section) must not wipe the subtree."""
+    from algonauts2025_tpu.config.confdict import ConfDict
+
+    cd = ConfDict({"infra": {"folder": "/x", "cluster": "external"}, "lr": 0.1})
+    cd.update({"infra": {}})
+    assert cd["infra.folder"] == "/x"
+    assert cd["infra.cluster"] == "external"
+    # non-empty merge still deep-merges, preserving siblings
+    cd.update({"infra": {"cluster": "threadpool"}})
+    assert cd["infra.cluster"] == "threadpool"
+    assert cd["infra.folder"] == "/x"
+    # assigning an empty dict to a NEW key still works
+    cd.update({"fresh": {}})
+    assert cd["fresh"] == {}
+
+
+def test_uid_default_check_respects_nested_exclusions():
+    """A nested model differing from its default only in its own
+    uid-EXCLUDED fields is still 'default' for cache identity (the
+    device/layers-never-invalidate contract must survive the
+    exclude-defaults dump)."""
+    from algonauts2025_tpu.config.uid import config_uid
+
+    class Inner(pydantic.BaseModel):
+        device: str = "cpu"
+        depth: int = 2
+
+        def _exclude_from_cache_uid(self):
+            return ["device"]
+
+    class Outer(pydantic.BaseModel):
+        inner: Inner = Inner()
+        lr: float = 0.1
+
+    assert config_uid(Outer()) == config_uid(Outer(inner=Inner(device="tpu")))
+    assert config_uid(Outer()) != config_uid(Outer(inner=Inner(depth=3)))

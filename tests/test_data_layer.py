@@ -273,3 +273,27 @@ def test_sentences_not_duplicated_across_contexts(tmp_path):
     sentences = out[out.type == "Sentence"]
     texts = sentences.text.tolist()
     assert len(texts) == len(set(texts)), texts  # no duplicates
+
+
+def test_resolve_root_shared_by_discovery_and_submission():
+    """write_submission must resolve the dataset root exactly the way
+    timeline discovery does (nested path/<Study> directory), or a
+    parent-path study trains fine and crashes at submission time."""
+    from algonauts2025_tpu.data.study import BaseData
+
+    class DemoStudy(BaseData):
+        @classmethod
+        def _iter_timelines(cls, path):
+            yield cls(timeline="t0", subject="s1", filepath=str(path))
+
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        nested = Path(td) / "demostudy"
+        nested.mkdir()
+        assert DemoStudy.resolve_root(td) == nested
+        assert DemoStudy.resolve_root(nested) == nested
+        # no nested dir -> the path itself
+        with tempfile.TemporaryDirectory() as td2:
+            assert DemoStudy.resolve_root(td2) == Path(td2)

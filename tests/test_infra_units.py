@@ -133,6 +133,8 @@ def test_monitor_mode_from_metric_flags():
 def test_cached_map_threadpool(tmp_path):
     import pydantic
 
+    import pydantic
+
     from algonauts2025_tpu.cache.map_runner import CachedMap, MapInfra
 
     class Owner(pydantic.BaseModel):
@@ -217,3 +219,36 @@ def test_prefetch_abandoned_generator_unblocks_producer(tmp_path):
         _time.sleep(0.05)
     assert threading.active_count() <= before  # producer thread exited
     assert len(produced) < 50  # and did not run the whole epoch
+
+
+def test_ram_only_cache_dedupes_within_one_call():
+    """Duplicate uids in a single call (e.g. every unmatched word sharing
+    the 'word_' uid) must compute once, matching the store path's
+    first-appearance dedup."""
+    import numpy as np
+
+    import pydantic
+
+    from algonauts2025_tpu.cache.map_runner import CachedMap, MapInfra
+
+    class Owner(pydantic.BaseModel):
+        pass
+
+    calls: list[list[int]] = []
+
+    def fn(items):
+        calls.append(list(items))
+        return [np.full((2,), it) for it in items]
+
+    cm = CachedMap(
+        infra=MapInfra(folder=None),  # RAM-only path
+        owner=Owner(),
+        method_name="m",
+        fn=fn,
+        item_uid=lambda it: f"u{it % 2}",  # 2 distinct uids
+    )
+    out = cm([0, 1, 2, 3, 4])
+    assert len(calls) == 1 and calls[0] == [0, 1]  # one compute per uid
+    np.testing.assert_array_equal(out[2], out[0])
+    np.testing.assert_array_equal(out[4], out[0])
+    assert len(out) == 5

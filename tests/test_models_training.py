@@ -588,3 +588,16 @@ def test_mlp_trailing_dropout_parity():
         rngs={"dropout": jax.random.PRNGKey(1)},
     )
     assert float(np.mean(np.asarray(yb) == 0.0)) == 0.0  # bare Linear: no dropout
+
+
+def test_grouped_pearson_validates_num_outputs():
+    """num_outputs was previously accepted and silently discarded; it must
+    now constrain the voxel dim or be omitted."""
+    from algonauts2025_tpu.training.metrics import GroupedPearson
+
+    preds = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8)))
+    m = GroupedPearson(n_groups=2, num_outputs=8)
+    m.update(preds, preds, groups=jnp.zeros((4,), jnp.int32))  # ok
+    m2 = GroupedPearson(n_groups=2, num_outputs=500)
+    with pytest.raises(ValueError, match="num_outputs=500"):
+        m2.update(preds, preds, groups=jnp.zeros((4,), jnp.int32))

@@ -366,3 +366,42 @@ def test_event_dict_round_trip_matches_reference(ref):
             a, b = d_mine[key], d_theirs[key]
             assert (a == b) or (pd.isna(a) and pd.isna(b)), (row, key, a, b)
         assert mine.stop == theirs.stop
+
+
+def test_extract_sentences_cross_timeline_final_word_quirk(ref):
+    """The reference appends the FINAL word to the open sentence before its
+    boundary checks (it compares the word with itself), so a final word in
+    a NEW timeline is absorbed across the boundary — yielding either a
+    corrupt cross-timeline sentence or, when the arithmetic goes negative,
+    a pydantic ValidationError.  Both variants must match exactly."""
+    from algonauts2025_tpu.data.enhancers import (
+        _extract_sentences as ours_extract,
+    )
+
+    def frame(b_start):
+        return pd.DataFrame(
+            [
+                dict(type="Word", text="hello", sentence="hello there",
+                     sentence_char=0, start=10.0, duration=0.3, timeline="A"),
+                dict(type="Word", text="there", sentence="hello there",
+                     sentence_char=6, start=10.4, duration=0.3, timeline="A"),
+                dict(type="Word", text="bye", sentence="bye",
+                     sentence_char=0, start=b_start, duration=0.3, timeline="B"),
+            ]
+        )
+
+    # positive-duration variant: same single absorbed sentence
+    theirs = ref.enhancers._extract_sentences(frame(20.0))
+    mine = ours_extract(frame(20.0))
+    assert len(theirs) == len(mine) == 1
+    for a, b in zip(mine, theirs):
+        assert (a.timeline, a.text) == (b.timeline, b.text)
+        assert abs(a.start - b.start) < 1e-9
+        assert abs(a.duration - b.duration) < 1e-9
+    # negative-duration variant: both raise the same validation error
+    import pydantic
+
+    with pytest.raises(pydantic.ValidationError):
+        ref.enhancers._extract_sentences(frame(0.0))
+    with pytest.raises(pydantic.ValidationError):
+        ours_extract(frame(0.0))

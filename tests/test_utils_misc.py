@@ -96,3 +96,53 @@ def test_bench_median_pass_dedup_tripwire(monkeypatch):
     assert bench.median_pass(lambda: next(fast_slow_slow)) == 1.1
     steady = iter([1.0, 1.1, 1.2])
     assert bench.median_pass(lambda: next(steady)) == 1.1
+
+
+def _fake_run(folder, score=None, corrupt_zip=False):
+    """A minimal grid-run folder: submission.zip (+ optional metrics.csv)."""
+    import io
+    import zipfile
+
+    import numpy as np
+    import pandas as pd
+
+    folder.mkdir(parents=True)
+    preds = {"sub-01": {"s07e01a": np.full((4, 3), float(score or 0.0))}}
+    if corrupt_zip:
+        (folder / "submission.zip").write_bytes(b"not a zip")
+    else:
+        buf = io.BytesIO()
+        np.save(buf, preds, allow_pickle=True)
+        with zipfile.ZipFile(folder / "submission.zip", "w") as zf:
+            zf.writestr("submission.npy", buf.getvalue())
+    if score is not None:
+        pd.DataFrame([{"val/pearson": score}]).to_csv(folder / "metrics.csv", index=False)
+    else:
+        (folder / "metrics.csv").write_text("garbage,,,\n\x00")
+
+
+def test_score_weighted_ensemble_skips_scoreless_runs(tmp_path):
+    """A partially-written run folder (corrupt metrics.csv) must be skipped
+    with a warning under weigh_by_score, not crash the whole ensemble."""
+    import numpy as np
+
+    from algonauts2025_tpu.grids.average_submissions import average_submissions
+
+    _fake_run(tmp_path / "a", score=0.5)
+    _fake_run(tmp_path / "b", score=None)  # corrupt metrics.csv
+    out = average_submissions(tmp_path, weigh_by_score=True)
+    avg = np.load(tmp_path / "submission.npy", allow_pickle=True).item()
+    # only run "a" (score 0.5) contributes -> values equal its predictions
+    np.testing.assert_allclose(avg["sub-01"]["s07e01a"], 0.5)
+    assert out.exists()
+
+
+def test_ensemble_all_zips_unreadable_raises_clearly(tmp_path):
+    import pytest
+
+    from algonauts2025_tpu.grids.average_submissions import average_submissions
+
+    _fake_run(tmp_path / "a", score=0.5, corrupt_zip=True)
+    _fake_run(tmp_path / "b", score=0.1, corrupt_zip=True)
+    with pytest.raises(RuntimeError, match="failed to load"):
+        average_submissions(tmp_path)
