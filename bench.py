@@ -67,6 +67,31 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def log_tunnel_weather() -> None:
+    """Diagnostic: today's D2H rate for an 11.4 MB bf16 fetch (the text
+    stage's contract-fixed layer-stack transfer).  The dev tunnel swings
+    12-33 MB/s day to day, moving the D2H-floor-bound text stage by
+    +/-0.3 s — this line makes a given bench record interpretable.
+    A FRESH array per fetch: jax.Array caches its host copy."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        nbytes = 11_400_000
+        fn = jax.jit(lambda k: jax.random.normal(k, (nbytes // 2,), jnp.bfloat16))
+        rates = []
+        for i in range(2):
+            x = fn(jax.random.PRNGKey(i))
+            jax.block_until_ready(x)
+            t0 = time.time()
+            np.asarray(x)
+            rates.append(nbytes / (time.time() - t0) / 1e6)
+        log(f"tunnel D2H: {max(rates):.0f} MB/s (11.4 MB floor = "
+            f"{11.4 / max(rates):.2f}s of the text stage)")
+    except Exception as e:  # diagnostics must never fail the bench
+        log(f"tunnel D2H probe failed: {e!r}")
+
+
 def bench_text(words: list[str], contexts: list[str]) -> float:
     """Seconds to encode all word contexts with Llama-3.2-3B.
 
@@ -308,6 +333,7 @@ def main() -> None:
     import jax
 
     log(f"bench devices: {jax.devices()}")
+    log_tunnel_weather()
     tmp = Path(tempfile.mkdtemp(prefix="algonauts_bench_"))
 
     # synthetic stimuli
