@@ -96,6 +96,12 @@ def chunk_events(
     restart at split-section boundaries of ``event_type_to_use`` events
     (reference splitting.py:43-106 semantics).  Extra columns of the
     original rows (split/movie/chunk/...) are carried onto the pieces.
+
+    Documented divergence: the reference copies ``row._asdict()`` wholesale
+    (splitting.py:96-99), which leaks the itertuples ``Index`` (the chunked
+    row's ORIGINAL positional index) as an inert junk column on chunked
+    rows; this rebuild does not reproduce it (nothing downstream reads it —
+    it would only round-trip into Event.extra as noise).
     """
     target_cls = Event._CLASSES[event_type_to_chunk]
     if not issubclass(target_cls, BaseSplittableEvent):

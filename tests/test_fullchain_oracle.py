@@ -384,3 +384,94 @@ def test_fullchain_batch_pooling_matches(frames, refx):
         vb = b_batch.data[key].numpy()
         assert va.shape == vb.shape, key
         np.testing.assert_allclose(va, vb, atol=1e-5, err_msg=key)
+
+
+FUZZ_CASES = [
+    # (study kwargs, enhancer chain) — each case a different composition
+    # of layouts and enhancer parameters through the SAME whole-chain
+    # comparison as above
+    (
+        dict(subjects=("sub-01", "sub-02", "sub-03", "sub-05"), duration=25.0, n_parcels=16, with_video=True,
+             seed=11, train_episodes=("e01a",), test_episodes=("e01a",)),
+        [
+            {"name": "AddSentenceToWords", "max_unmatched_ratio": 0.7},
+            {"name": "AddContextToWords", "sentence_only": True,
+             "max_context_len": 16},
+            {"name": "RemoveMissing"},
+        ],
+    ),
+    (
+        dict(subjects=("sub-01", "sub-02", "sub-03", "sub-05"), duration=55.0, n_parcels=32,
+             with_video=True, seed=22, train_episodes=("e01a", "e01b", "e02a"),
+             test_episodes=("e01a",)),
+        [
+            {"name": "AddSentenceToWords", "max_unmatched_ratio": 0.7},
+            {"name": "AssignSentenceSplit", "ratios": (0.7, 0.2, 0.1), "seed": 3,
+             "min_duration": 4.0, "max_unmatched_ratio": 0.7},
+            {"name": "ChunkEvents", "event_type_to_chunk": "Video",
+             "event_type_to_use": "Word", "max_duration": 20.0},
+            {"name": "RemoveMissing"},
+        ],
+    ),
+    (
+        dict(subjects=("sub-01", "sub-02", "sub-03", "sub-05"), duration=35.0, n_parcels=8,
+             with_video=True, seed=33, train_episodes=("e01a", "e01b"),
+             test_episodes=("e01a",)),
+        [
+            {"name": "AddSentenceToWords", "max_unmatched_ratio": 0.7},
+            {"name": "AssignSentenceSplit", "ratios": (0.5, 0.5, 0.0), "seed": 9,
+             "min_words": 3, "max_unmatched_ratio": 0.7},
+            {"name": "AddContextToWords", "sentence_only": False,
+             "max_context_len": 128},
+        ],
+    ),
+]
+
+
+@pytest.mark.parametrize("case", range(len(FUZZ_CASES)))
+def test_fullchain_fuzzed_configs_match(refx, tmp_path_factory, case):
+    """The composed chain agrees with the reference across varied study
+    layouts and enhancer parameter combinations (splits, chunking, context
+    caps) — not just the module-level fixture's single configuration."""
+    study_kwargs, chain = FUZZ_CASES[case]
+    from algonauts2025_tpu.data.synthetic import make_synthetic_study
+
+    root = tmp_path_factory.mktemp(f"fuzz{case}")
+    study = make_synthetic_study(root, **study_kwargs)
+
+    theirs = refx.data.StudyLoader(path=study, enhancers=[dict(e) for e in chain]).build()
+    from algonauts2025_tpu.data.study import StudyLoader
+
+    ours = StudyLoader(path=study, enhancers=[dict(e) for e in chain]).build()
+    assert len(ours) == len(theirs), "event row counts diverge"
+    a, b = _norm(ours), _norm(theirs)
+    # 'Index' is a reference chunk_events artifact (itertuples leak,
+    # splitting.py:96-99) — an inert junk column deliberately not
+    # reproduced (documented in core/splitting.py::chunk_events)
+    b = b.drop(columns=["Index"], errors="ignore")
+    missing = set(b.columns) - set(a.columns)
+    assert not missing, f"rebuild lacks reference columns: {missing}"
+    for col in sorted(set(b.columns)):
+        va, vb = a[col], b[col]
+        if pd.api.types.is_float_dtype(vb):
+            np.testing.assert_allclose(
+                va.astype(float).to_numpy(), vb.astype(float).to_numpy(),
+                atol=1e-9, err_msg=col,
+            )
+        else:
+            sa = va.astype(str).where(~va.isna(), "#na#").tolist()
+            sb = vb.astype(str).where(~vb.isna(), "#na#").tolist()
+            assert sa == sb, f"column {col!r} diverges"
+
+    from algonauts2025_tpu.core.segments import list_segments
+
+    for split in sorted(set(b.get("split", pd.Series(["train"])).dropna())):
+        sa = list_segments(ours[ours.split == split])
+        sb = refx.segments.list_segments(theirs[theirs.split == split])
+        assert len(sa) == len(sb), split
+        sa = sorted(sa, key=lambda s: (s.events.timeline.iloc[0], s.start))
+        sb = sorted(sb, key=lambda s: (s.events.timeline.iloc[0], s.start))
+        for x, y in zip(sa, sb):
+            assert x.start == pytest.approx(y.start)
+            assert x.duration == pytest.approx(y.duration)
+            assert len(x.events) == len(y.events)
