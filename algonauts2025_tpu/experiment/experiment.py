@@ -150,6 +150,14 @@ class Experiment(pydantic.BaseModel):
             from .tracking import RunLogger
 
             run_logger = RunLogger(save_dir=self.infra.folder)
+        try:
+            return self._run_with_logger(run_logger)
+        finally:
+            # a failed fit/eval/submission must still finalize the logger
+            # (flush trailing metrics, mark the wandb run finished)
+            run_logger.finish()
+
+    def _run_with_logger(self, run_logger) -> dict[str, float]:
         if self.seed is not None:
             np.random.seed(self.seed)
 
@@ -205,9 +213,14 @@ class Experiment(pydantic.BaseModel):
         train_ds = datasets.get("train")
         val_ds = datasets.get("val")
         test_ds = datasets.get("test")
-        steps_per_epoch = (
-            max(1, -(-len(train_ds) // batch_size)) if train_ds is not None else 1
-        )
+        # ceil with the tail batch, floor when drop_last discards it — the
+        # LR schedule / SWA start must count the steps that actually run
+        if train_ds is None:
+            steps_per_epoch = 1
+        elif self.data.drop_last:
+            steps_per_epoch = max(1, len(train_ds) // batch_size)
+        else:
+            steps_per_epoch = max(1, -(-len(train_ds) // batch_size))
         if self.limit_train_batches is not None:
             # the LR schedule and step-based SWA annealing must count the
             # steps that actually run (reference: Lightning's
@@ -221,7 +234,13 @@ class Experiment(pydantic.BaseModel):
         # optimizer/schedule/SWA — reference load_from_checkpoint
         # strict=False semantics); last.ckpt is a full resume.
         start_epoch = 0
-        ckpt = self._get_checkpoint_path()
+        ckpt, is_warm_start = self._get_checkpoint_path()
+        if self.test_only and ckpt is None:
+            raise RuntimeError(
+                "test_only=True but no checkpoint exists (checkpoint_path "
+                "unset and no last.ckpt in the run folder) — refusing to "
+                "write a submission from randomly initialized weights"
+            )
         if ckpt is not None:
             # explicit warm starts fail LOUDLY on an unloadable checkpoint
             # (silently training from random init would masquerade as a
@@ -229,8 +248,8 @@ class Experiment(pydantic.BaseModel):
             # tolerant of e.g. a checkpoint torn by a crash
             start_epoch = trainer.load_checkpoint(
                 ckpt,
-                strict=bool(self.checkpoint_path),
-                params_only=bool(self.checkpoint_path),
+                strict=is_warm_start,
+                params_only=is_warm_start,
             )
             logger.info("Loaded checkpoint %s (next epoch %d)", ckpt, start_epoch)
 
@@ -297,17 +316,21 @@ class Experiment(pydantic.BaseModel):
 
         if test_ds is not None and len(test_ds):
             self.write_submission(trainer, test_ds, batch_size)
-        if run_logger is not None:
-            run_logger.finish()
         return {k: float(v) for k, v in all_metrics.items() if isinstance(v, (int, float))}
 
-    def _get_checkpoint_path(self) -> Path | None:
+    def _get_checkpoint_path(self) -> tuple[Path | None, bool]:
+        """(path, is_warm_start).  The run's OWN last.ckpt always wins: a
+        preempted warm-started run must resume its progress, not re-warm-
+        start from the pretrained checkpoint and retrain from epoch 0 on
+        every restart."""
+        last = Path(self.infra.folder) / "last.ckpt"
+        if last.exists():
+            return last, False
         if self.checkpoint_path:
             path = Path(self.checkpoint_path)
             assert path.exists(), f"Checkpoint path {path} does not exist."
-            return path
-        last = Path(self.infra.folder) / "last.ckpt"
-        return last if last.exists() else None
+            return path, True
+        return None, False
 
     # -- submission (reference callbacks.py:47-103) -----------------------
     @staticmethod

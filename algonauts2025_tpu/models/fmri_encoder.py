@@ -148,7 +148,13 @@ class FmriEncoder(nn.Module):
         b, t = ref.shape[0], ref.shape[-1]
 
         # modality dropout mask: one draw per modality per call, at least
-        # one modality survives (reference model.py:134-141)
+        # one modality survives (reference model.py:134-141).  Parity note:
+        # like the reference's np.random.choice over the dropped list, the
+        # guaranteed survivor is drawn over ALL feature_dims entries —
+        # including absent-modality zero fillers — so a feature_dims built
+        # with absent modalities can in principle keep only a zero filler.
+        # Moot in the app: Data drops features with no events before
+        # feature_dims is built (reference main.py:152-163 does the same).
         if training and cfg.modality_dropout > 0:
             key = self.make_rng("modality")
             k1, k2 = jax.random.split(key)
@@ -204,6 +210,24 @@ class FmriEncoder(nn.Module):
         data = self._prepare_modality(batch[modality])
         return self.contrastive_heads[modality](data)
 
+    def _readout(
+        self,
+        latents: jax.Array,
+        batch: tp.Mapping[str, jax.Array],
+        pool_outputs: bool,
+    ) -> jax.Array:
+        """(B, T, H) brain latents -> (B, O, T') predictions (per-subject
+        readout + AdaptiveAvgPool TR binning); shared by __call__ and the
+        contrastive forward so the two paths cannot drift."""
+        x = jnp.swapaxes(latents, 1, 2)  # (B, H, T)
+        x = self.predictor(x, batch.get("subject_id"))  # (B, O, T)
+        if pool_outputs:
+            mat = jnp.asarray(
+                adaptive_avg_pool_matrix(x.shape[-1], self.n_output_timesteps)
+            )
+            x = x.astype(jnp.float32) @ mat
+        return x.astype(jnp.float32)
+
     # -- main entry points ------------------------------------------------
     def __call__(
         self,
@@ -211,15 +235,8 @@ class FmriEncoder(nn.Module):
         training: bool = False,
         pool_outputs: bool = True,
     ) -> jax.Array:
-        x = self.get_brain_latents(batch, training)  # (B, T, H)
-        x = jnp.swapaxes(x, 1, 2)  # (B, H, T)
-        x = self.predictor(x, batch.get("subject_id"))  # (B, O, T)
-        if pool_outputs:
-            mat = jnp.asarray(
-                adaptive_avg_pool_matrix(x.shape[-1], self.n_output_timesteps)
-            )
-            x = (x.astype(jnp.float32) @ mat)
-        return x.astype(jnp.float32)
+        latents = self.get_brain_latents(batch, training)  # (B, T, H)
+        return self._readout(latents, batch, pool_outputs)
 
     def forward_with_contrastive(
         self,
@@ -236,13 +253,7 @@ class FmriEncoder(nn.Module):
         """
         cfg = self.config
         latents = self.get_brain_latents(batch, training)  # (B, T, H)
-        x = jnp.swapaxes(latents, 1, 2)
-        x = self.predictor(x, batch.get("subject_id"))
-        if pool_outputs:
-            mat = jnp.asarray(
-                adaptive_avg_pool_matrix(x.shape[-1], self.n_output_timesteps)
-            )
-            x = x.astype(jnp.float32) @ mat
+        x = self._readout(latents, batch, pool_outputs)
         losses: dict[str, jax.Array] = {}
         if cfg.contrastive_enabled:
             for modality in cfg.contrastive_modalities:
@@ -296,12 +307,15 @@ def _info_nce(q: jax.Array, k: jax.Array, tau: float = 0.07) -> jax.Array:
     q = _safe_normalize(q.reshape(bt, h))
     k = _safe_normalize(k.reshape(bt, h))
     logits = (q @ k.T) / tau
-    labels = jnp.arange(bt)
-    loss_qk = _cross_entropy(logits, labels)
-    loss_kq = _cross_entropy(logits.T, labels)
-    return 0.5 * (loss_qk + loss_kq)
+    return 0.5 * (_cross_entropy_diag(logits) + _cross_entropy_diag(logits.T))
 
 
-def _cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def _cross_entropy_diag(logits: jax.Array) -> jax.Array:
+    """InfoNCE cross-entropy with positives on the diagonal.
+
+    Both call sites pair row i with column i, so the label gather is just
+    the diagonal — extracted with an eye-mask reduction rather than
+    take_along_axis (gathers are slow on TPU, CLAUDE.md)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+    eye = jnp.eye(logits.shape[0], dtype=logp.dtype)
+    return -(logp * eye).sum(axis=-1).mean()

@@ -108,6 +108,7 @@ class BrainTrainer:
         self.callbacks = list(callbacks)
         self.tx: optax.GradientTransformation | None = None
         self.schedule: optax.Schedule | None = None
+        self._schedule_jit: tp.Callable | None = None
         self.state: TrainState | None = None
         self.history: list[dict[str, float]] = []
         self.callback_metrics: dict[str, float] = {}
@@ -316,7 +317,7 @@ class BrainTrainer:
 
             # validation
             val_metrics = self.evaluate(val_loader_fn(), split="val")
-            lr = float(self.schedule(self.state.step)) if self.schedule else 0.0
+            lr = self._current_lr()
             record = {
                 "epoch": epoch,
                 "train/loss": train_loss,
@@ -398,6 +399,17 @@ class BrainTrainer:
             self.state = self.state.replace(params=swa)
             self.save_checkpoint("last", epoch=n_epochs - 1)
 
+    def _current_lr(self) -> float:
+        """Schedule value at the current step, evaluated under ONE jit
+        dispatch (optax schedules are jnp compositions — eager evaluation
+        costs several ~0.4 s device round trips per epoch on remotely
+        attached chips, CLAUDE.md)."""
+        if self.schedule is None:
+            return 0.0
+        if self._schedule_jit is None:
+            self._schedule_jit = jax.jit(self.schedule)
+        return float(jax.device_get(self._schedule_jit(self.state.step)))
+
     # -- evaluation -------------------------------------------------------
     def evaluate(
         self, loader: tp.Iterable[SegmentData], split: str = "val"
@@ -410,6 +422,12 @@ class BrainTrainer:
                 metric.reset()
         losses = []
         n = 0
+        # loop-invariant: which of this split's metrics want group ids
+        needs_groups = any(
+            m.needs_groups or m.is_retrieval
+            for name, m in self.metrics.items()
+            if name.startswith(split)
+        )
         for batch in loader:
             data = shard_batch(batch.data, self.mesh)
             y_pred, yp, yt, loss = self._eval_step_with_loss(self.state.params, data)
@@ -418,11 +436,6 @@ class BrainTrainer:
             subject_ids = data.get("subject_id")
             voxel_groups = None
             segment_groups = None
-            needs_groups = any(
-                m.needs_groups or m.is_retrieval
-                for name, m in self.metrics.items()
-                if name.startswith(split)
-            )
             if subject_ids is not None and needs_groups:
                 # one jitted dispatch; eager reshape+repeat per batch cost
                 # round trips on remotely attached chips
@@ -533,6 +546,51 @@ class BrainTrainer:
         import orbax.checkpoint as ocp
 
         assert self.state is not None, "init_state before load_checkpoint"
+        if params_only:
+            # warm start: restore WITHOUT a state template — the source
+            # run's optimizer/schedule structure is irrelevant (and a
+            # different optax chain would crash a templated restore even
+            # though only the weights are wanted)
+            with ocp.StandardCheckpointer() as ckptr:
+                try:
+                    raw = ckptr.restore(Path(path).resolve())
+                except Exception:
+                    if strict:
+                        raise
+                    logger.warning("Non-strict checkpoint load failed for %s", path)
+                    return 0
+            cur = self.state.params
+            new_params = raw["state"]["params"]
+            cur_flat = dict(jax.tree_util.tree_flatten_with_path(cur)[0])
+            new_flat = dict(jax.tree_util.tree_flatten_with_path(new_params)[0])
+            missing = set(cur_flat) - set(new_flat)
+            mismatched = {
+                kp
+                for kp in set(cur_flat) & set(new_flat)
+                if np.shape(new_flat[kp]) != cur_flat[kp].shape
+            }
+            if (missing or mismatched) and strict:
+                raise ValueError(
+                    f"Checkpoint {path}: {len(missing)} model parameters "
+                    f"missing, {len(mismatched)} shape-mismatched "
+                    f"(e.g. {sorted(map(str, missing | mismatched))[:3]}); "
+                    "pass strict=False to adopt the intersection "
+                    "(reference load_from_checkpoint(strict=False))"
+                )
+
+            def adopt(kp, old):
+                new = new_flat.get(kp)
+                if new is None or np.shape(new) != old.shape:
+                    return old  # strict=False: keep fresh init for misses
+                return (
+                    jax.device_put(jnp.asarray(new), old.sharding)
+                    if hasattr(old, "sharding")
+                    else jnp.asarray(new)
+                )
+
+            params = jax.tree_util.tree_map_with_path(adopt, cur)
+            self.state = self.state.replace(params=params)
+            return 0
         template = {
             "state": jax.device_get(self.state),
             "meta": {
@@ -555,19 +613,6 @@ class BrainTrainer:
                     logger.warning("Non-strict checkpoint load failed for %s", path)
                     return 0
         state = restored["state"]
-        if params_only:
-            cur = self.state.params
-            params = jax.tree.map(
-                lambda old, new: (
-                    jax.device_put(jnp.asarray(new), old.sharding)
-                    if hasattr(old, "sharding")
-                    else jnp.asarray(new)
-                ),
-                cur,
-                state.params,
-            )
-            self.state = self.state.replace(params=params)
-            return 0
         if self.mesh is not None:
             from ..parallel.sharding import state_shardings
 

@@ -601,3 +601,78 @@ def test_grouped_pearson_validates_num_outputs():
     m2 = GroupedPearson(n_groups=2, num_outputs=500)
     with pytest.raises(ValueError, match="num_outputs=500"):
         m2.update(preds, preds, groups=jnp.zeros((4,), jnp.int32))
+
+
+def _mini_trainer(tmp_path, optim=None, depth=1, seed=0):
+    model, cfg, fd = _tiny_model(hidden=32, depth=depth)
+    batch = _batch(fd, b=4, seed=seed)
+    sd = SegmentData(
+        data={k: np.asarray(v) for k, v in batch.items()}, segments=[None] * 4
+    )  # type: ignore[list-item]
+    trainer = BrainTrainer(
+        model=model,
+        loss_fn=build_loss({"name": "MSELoss"}),
+        optim_config=optim or OptimConfig(optimizer={"name": "Adam", "lr": 1e-3}),
+        metrics={},
+        config=TrainerConfig(n_epochs=1, folder=tmp_path, seed=0, patience=None),
+    )
+    trainer.init_state(sd, total_steps=4)
+    return trainer, sd
+
+
+def test_warm_start_ignores_optimizer_structure(tmp_path):
+    """params_only must restore weights from a checkpoint written with a
+    DIFFERENT optimizer config (a templated full-state restore would
+    crash on the opt_state structure mismatch)."""
+    src, _ = _mini_trainer(
+        tmp_path / "src",
+        optim=OptimConfig(
+            optimizer={"name": "SGD", "lr": 1e-2, "kwargs": {"momentum": 0.9}}
+        ),
+    )
+    src.save_checkpoint("last")
+    dst, _ = _mini_trainer(tmp_path / "dst")  # Adam: different opt_state tree
+    dst.load_checkpoint(tmp_path / "src" / "last.ckpt", strict=True, params_only=True)
+    src_leaves = jax.tree_util.tree_leaves(src.state.params)
+    dst_leaves = jax.tree_util.tree_leaves(dst.state.params)
+    for a, b in zip(src_leaves, dst_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warm_start_strict_rejects_structural_mismatch(tmp_path):
+    """strict=True warm start must fail loudly when the checkpoint lacks
+    model parameters; strict=False adopts the intersection."""
+    src, _ = _mini_trainer(tmp_path / "src", depth=1)
+    src.save_checkpoint("last")
+    dst, _ = _mini_trainer(tmp_path / "dst", depth=2)  # more params
+    with pytest.raises(ValueError, match="missing"):
+        dst.load_checkpoint(
+            tmp_path / "src" / "last.ckpt", strict=True, params_only=True
+        )
+    before = jax.tree_util.tree_leaves(dst.state.params)
+    dst.load_checkpoint(
+        tmp_path / "src" / "last.ckpt", strict=False, params_only=True
+    )
+    after = jax.tree_util.tree_leaves(dst.state.params)
+    assert len(before) == len(after)  # structure intact, intersection adopted
+
+
+def test_resume_beats_explicit_checkpoint_path(tmp_path):
+    """A preempted warm-started run must resume its own last.ckpt, not
+    re-warm-start from the pretrained checkpoint every restart."""
+    from algonauts2025_tpu.experiment.experiment import Experiment
+
+    pre = tmp_path / "pretrained.ckpt"
+    pre.mkdir()  # existence is all _get_checkpoint_path checks
+    own = tmp_path / "run"
+    own.mkdir()
+    import types as _types
+
+    exp = _types.SimpleNamespace(
+        checkpoint_path=str(pre), infra=_types.SimpleNamespace(folder=str(own))
+    )
+    path, warm = Experiment._get_checkpoint_path(exp)
+    assert path == pre and warm  # no own progress yet -> warm start
+    (own / "last.ckpt").mkdir()
+    path, warm = Experiment._get_checkpoint_path(exp)
+    assert path == own / "last.ckpt" and not warm  # own progress wins
