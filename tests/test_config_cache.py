@@ -246,6 +246,9 @@ def test_job_array_threadpool(tmp_path):
     with infra.job_array() as tasks:
         tasks.extend(T(i=i) for i in range(6))
     assert sorted(ran) == list(range(6))
+    # executor threads, not the caller: a regression to serial in-thread
+    # execution would otherwise pass unnoticed
+    assert threading.get_ident() not in seen_threads
 
 
 def test_job_array_threadpool_propagates_failure(tmp_path):

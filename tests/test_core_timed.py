@@ -10,7 +10,11 @@ def test_frequency_roundtrip():
     f = Frequency(2.0)
     assert f.to_ind(1.49) == 3
     assert f.to_ind(0.24) == 0
-    assert f.to_ind(0.25) == 0 or f.to_ind(0.26) == 1  # round-half behavior
+    # round-half-EVEN (np.round / Python round — the reference base.py:50
+    # convention): .5 boundaries go to the even index
+    assert f.to_ind(0.25) == 0  # round(0.5) = 0
+    assert f.to_ind(0.75) == 2  # round(1.5) = 2
+    assert f.to_ind(1.25) == 2  # round(2.5) = 2
     assert f.to_sec(4) == 2.0
     arr = np.array([0.0, 0.5, 1.0])
     np.testing.assert_array_equal(f.to_ind(arr), [0, 1, 2])

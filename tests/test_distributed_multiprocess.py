@@ -79,10 +79,18 @@ def test_two_process_mesh_step(tmp_path):
             )
         )
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=240)
-        assert p.returncode == 0, f"rank failed:\nstdout={out}\nstderr={err[-2000:]}"
-        outs.append(out)
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            assert p.returncode == 0, f"rank failed:\nstdout={out}\nstderr={err[-2000:]}"
+            outs.append(out)
+    finally:
+        # a hung coordinator (TimeoutExpired) or a failed rank-0 assertion
+        # must not leak the sibling process holding the port
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     # sum over both halves: 2 * (sum(0..7) + sum(100..107)) = 2 * (28 + 828)
     expected = 2.0 * (sum(range(8)) + sum(range(100, 108)))
     for out in outs:

@@ -75,6 +75,7 @@ def test_job_array_external_launcher(study, tmp_path):
     )
     array_infra.bind(template)
     old_env = os.environ.get("ALGONAUTS_TPU_LAUNCHER")
+    old_platforms = os.environ.get("JAX_PLATFORMS")
     os.environ["ALGONAUTS_TPU_LAUNCHER"] = launcher
     os.environ["JAX_PLATFORMS"] = "cpu"
     try:
@@ -85,6 +86,10 @@ def test_job_array_external_launcher(study, tmp_path):
             os.environ.pop("ALGONAUTS_TPU_LAUNCHER", None)
         else:
             os.environ["ALGONAUTS_TPU_LAUNCHER"] = old_env
+        if old_platforms is None:
+            os.environ.pop("JAX_PLATFORMS", None)
+        else:
+            os.environ["JAX_PLATFORMS"] = old_platforms
 
     summary = json.loads((grid_root / "job_array" / "array_status.json").read_text())
     by_index = {e["index"]: e for e in summary}

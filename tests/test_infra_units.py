@@ -2,6 +2,7 @@
 the end-to-end suites: FrameStore, config builders, profiling timer."""
 
 import time
+import typing as tp
 
 import numpy as np
 import pandas as pd
@@ -80,11 +81,14 @@ def test_stage_timer():
         time.sleep(0.01)
     with timer.stage("encode"):
         time.sleep(0.005)
+    for _ in timer.wrap("iter", range(3)):  # the iterator-wrapping surface
+        pass
     report = timer.summary()
     assert report["decode"]["total_s"] >= 0.02
     assert report["decode"]["count"] == 2
     assert report["encode"]["total_s"] >= 0.005
-    assert set(report) == {"decode", "encode"}
+    assert report["iter"]["count"] == 3
+    assert set(report) == {"decode", "encode", "iter"}
 
 
 def test_run_cached_recomputes_on_corrupt_result(tmp_path):
@@ -133,8 +137,6 @@ def test_monitor_mode_from_metric_flags():
 def test_cached_map_threadpool(tmp_path):
     import pydantic
 
-    import pydantic
-
     from algonauts2025_tpu.cache.map_runner import CachedMap, MapInfra
 
     class Owner(pydantic.BaseModel):
@@ -173,11 +175,16 @@ def test_config_uid_handles_inf_and_canonicalizes_floats():
 
     assert config_uid(C(x=float("inf"))) != config_uid(C(x=float("nan")))
     assert config_uid(C(x=2.0)) == config_uid(C(x=2.0))
-    # integral float == int: the same config value hashes the same
-    class D(pydantic.BaseModel):
-        x: int = 1
-
     assert config_uid(C(x=2.0)).split("-")[-1] != config_uid(C(x=2.5)).split("-")[-1]
+
+    # integral float == int: the same config value hashes the same (a
+    # yaml/json round trip may turn 2.0 into 2 — caches must not split)
+    from algonauts2025_tpu.config.uid import dump_for_uid
+
+    class D(pydantic.BaseModel):
+        x: tp.Any = 1
+
+    assert dump_for_uid(D(x=2.0)) == dump_for_uid(D(x=2))
 
 
 def test_study_loader_uid_with_chunk_events_inf():

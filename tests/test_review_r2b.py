@@ -300,7 +300,9 @@ def test_incremental_tokenizer_whitespace_guard():
     bb = TinyTextBackbone()
     for t in ["a  double", "tab\there", "line\nbreak", "nb space and more"]:
         assert bb._tokenize(t) == bb._tokenize_full(t), t
-        # and the fast-path cache must not have been consulted for these
+    # the fast-path per-word cache must not have been touched:
+    # equality alone could pass by luck without the guard
+    assert not bb._word_ids, "whitespace contexts hit the fast path"
     simple = "plain single spaced words"
     assert bb._tokenize(simple) == bb._tokenize_full(simple)
     assert bb._word_ids  # fast path engaged for the simple context

@@ -72,6 +72,13 @@ def test_chain_breaks_on_non_prefix_contexts(feat):
     # not be treated as one chain
     tail = [r for r in runs if len(r[1]) > 4 and r[0]]
     assert not tail
+    # and EVERY run marked as a chain must satisfy the prefix invariant
+    # directly (a wrongly-chained short run would otherwise only surface
+    # through the numeric comparison below)
+    for is_chain, _es, toks in runs:
+        if is_chain:
+            for prev, cur in zip(toks, toks[1:]):
+                assert cur[: len(prev)] == prev
     chain = [np.asarray(x) for x in feat._compute(events)]
     batched = [np.asarray(x) for x in feat._compute_batched(feat.backbone, events)]
     for c, b in zip(chain, batched):

@@ -7,7 +7,6 @@ import pytest
 
 from algonauts2025_tpu.data.dataset import SegmentData, prefetch_to_device
 from algonauts2025_tpu.experiment.tracking import WandbLoggerConfig
-from algonauts2025_tpu.utils import StageTimer
 
 
 def _batches(n=3, b=2):
@@ -32,17 +31,6 @@ def test_prefetch_propagates_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(prefetch_to_device(bad()))
-
-
-def test_stage_timer():
-    timer = StageTimer()
-    with timer.stage("a"):
-        pass
-    for _ in timer.wrap("b", range(3)):
-        pass
-    summary = timer.summary()
-    assert summary["a"]["count"] == 1
-    assert summary["b"]["count"] == 3
 
 
 def test_local_run_logger(tmp_path):
