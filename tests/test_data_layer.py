@@ -297,3 +297,33 @@ def test_resolve_root_shared_by_discovery_and_submission():
         # no nested dir -> the path itself
         with tempfile.TemporaryDirectory() as td2:
             assert DemoStudy.resolve_root(td2) == Path(td2)
+
+
+def test_segment_dataset_drop_remainder():
+    """drop_remainder=True yields only full batches (the Data.drop_last
+    knob routes here for single-executable TPU epochs)."""
+    import numpy as np
+
+    from algonauts2025_tpu.data.dataset import SegmentDataset
+
+    class _Feat:
+        def __call__(self, events, start, duration):
+            return np.zeros((2, 3), np.float32)
+
+        def prepare(self, events):
+            pass
+
+    segs = [object() for _ in range(10)]
+
+    class _DS(SegmentDataset):
+        def __getitem__(self, i):
+            return {"x": np.full((1, 2), float(i), np.float32)}
+
+    ds = _DS({}, segs, pad_duration=None)
+    full = list(ds.batches(batch_size=4))
+    assert [b.data["x"].shape[0] for b in full] == [4, 4, 2]
+    dropped = list(ds.batches(batch_size=4, drop_remainder=True))
+    assert [b.data["x"].shape[0] for b in dropped] == [4, 4]
+    # shuffle keeps the drop-to-multiple contract
+    dropped_sh = list(ds.batches(batch_size=4, shuffle=True, seed=0, drop_remainder=True))
+    assert [b.data["x"].shape[0] for b in dropped_sh] == [4, 4]
