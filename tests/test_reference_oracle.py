@@ -405,3 +405,51 @@ def test_extract_sentences_cross_timeline_final_word_quirk(ref):
         ref.enhancers._extract_sentences(frame(0.0))
     with pytest.raises(pydantic.ValidationError):
         ours_extract(frame(0.0))
+
+
+def test_defaults_config_covers_reference_keys(tmp_path, monkeypatch):
+    """Every dotted key of the reference master config (grids/defaults.py)
+    must exist in ours — the grid/cache surface is key-for-key parity;
+    extras beyond it are the documented TPU knobs (MIGRATION.md)."""
+    ref_path = Path("/root/reference/algonauts2025/grids/defaults.py")
+    monkeypatch.chdir(tmp_path)  # the reference mkdirs relative paths on import
+    spec = importlib.util.spec_from_file_location("ref_defaults", ref_path)
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    monkeypatch.setenv("ALGONAUTS_TPU_DATA", str(tmp_path / "d"))
+    monkeypatch.setenv("ALGONAUTS_TPU_SAVE", str(tmp_path / "s"))
+    monkeypatch.setenv("ALGONAUTS_TPU_CACHE", str(tmp_path / "c"))
+    import importlib as _il
+
+    import algonauts2025_tpu.grids.defaults as ours_mod
+
+    ours_mod = _il.reload(ours_mod)  # re-read env-dependent paths
+
+    def keys(d, prefix=""):
+        out = set()
+        for k, v in d.items():
+            kk = f"{prefix}{k}"
+            if isinstance(v, dict):
+                out |= keys(v, kk + ".")
+            elif isinstance(v, list) and v and isinstance(v[0], dict):
+                out.add(kk + "[]")
+                for item in v:
+                    out |= {kk + "[]." + sub for sub in keys(item)}
+            else:
+                out.add(kk)
+        return out
+
+    ref_keys = keys(ref_mod.default_config)
+    our_keys = keys(ours_mod.default_config)
+    # enhancer entries: the reference keys them by arbitrary dict names;
+    # compare the enhancer configs' own key sets instead
+    ref_enh = {k.split("enhancers.", 1)[1].split(".", 1)[1]
+               for k in ref_keys if "enhancers." in k and "." in k.split("enhancers.", 1)[1]}
+    our_enh = {k.split("enhancers.", 1)[1].split(".", 1)[1]
+               for k in our_keys if "enhancers." in k and "." in k.split("enhancers.", 1)[1]}
+    assert ref_enh <= our_enh, f"enhancer keys missing: {ref_enh - our_enh}"
+    ref_rest = {k for k in ref_keys if "enhancers" not in k}
+    our_rest = {k for k in our_keys if "enhancers" not in k}
+    missing = ref_rest - our_rest
+    assert not missing, f"reference defaults keys missing from ours: {sorted(missing)}"
