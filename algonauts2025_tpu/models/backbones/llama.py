@@ -115,11 +115,12 @@ def _decoder_attention(q, k, v, mask, lengths, hd, dtype):
         return flash_attention(
             q, k, v, q_block=qb, kv_block=kvb, causal=True, lengths=lengths
         )
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / hd**0.5
-    scores = jnp.where(mask, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    # shared XLA fallback (dtype: probs cast to v.dtype == cfg.dtype);
+    # fully-masked rows zero-fill, matching the flash kernel
+    del hd, dtype
+    from ...ops.attention import dot_product_attention
+
+    return dot_product_attention(q, k, v, mask=mask)
 
 
 class LlamaLayer(nn.Module):

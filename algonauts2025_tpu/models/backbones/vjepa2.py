@@ -226,10 +226,11 @@ def _attention(q: jax.Array, k: jax.Array, v: jax.Array, dtype) -> jax.Array:
         from ...ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, q_block=qb, kv_block=kvb)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    scores = scores / hd**0.5
-    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    # v.dtype == cfg.dtype here, so the shared helper's probs cast matches
+    del dtype, hd
+    from ...ops.attention import dot_product_attention
+
+    return dot_product_attention(q, k, v)
 
 
 class VJEPA2Block(nn.Module):

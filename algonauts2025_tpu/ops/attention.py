@@ -50,20 +50,31 @@ def apply_rotary(x: jax.Array, angles: jax.Array) -> jax.Array:
     y1 = x1 * cos - x2 * sin
     y2 = x1 * sin + x2 * cos
     y = jnp.stack([y1, y2], axis=-1).reshape(x_rot.shape)
-    return jnp.concatenate([y, x_pass], axis=-1)
+    # preserve the input dtype: the fp32 cos/sin multiply would silently
+    # promote bf16 q/k, doubling VMEM footprints downstream
+    return jnp.concatenate([y, x_pass], axis=-1).astype(x.dtype)
 
 
 def dot_product_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array | None = None
 ) -> jax.Array:
-    """(B, H, T, Dh) attention, fp32 softmax accumulation."""
+    """(B, H, T, Dh) attention, fp32 softmax accumulation.
+
+    A fully-masked row returns ZEROS (matching the flash kernel's
+    zero-fill for valid==0 rows) — softmax alone would emit the uniform
+    mean of V including pad garbage, making TPU and CPU backends produce
+    different features for the same input."""
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale
     if mask is not None:
         scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if mask is not None:
+        any_valid = jnp.any(mask, axis=-1, keepdims=True)  # (..., q, 1)
+        out = jnp.where(any_valid, out, 0)
+    return out
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
@@ -164,8 +175,19 @@ def fused_attention(
     """
     import os
 
+    if force_pallas and mask is not None:
+        # silently dropping the mask would attend to masked positions;
+        # the Pallas kernel has no mask input by design
+        raise ValueError(
+            "force_pallas=True is incompatible with a mask; the full-VMEM "
+            "kernel serves fixed-length unmasked windows only"
+        )
     use_pallas = force_pallas
-    if os.environ.get("ALGONAUTS_TPU_NO_PALLAS"):
+    if use_pallas is None and os.environ.get("ALGONAUTS_TPU_NO_PALLAS"):
+        # debug escape hatch; an EXPLICIT force_pallas=True wins over the
+        # env var (tests that exercise the kernel must not silently pass
+        # on the XLA path).  Read at trace time: toggling after the first
+        # compile has no effect on cached executables.
         use_pallas = False
     if use_pallas is None:
         t, dh = q.shape[-2], q.shape[-1]

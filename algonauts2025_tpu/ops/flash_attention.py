@@ -40,12 +40,15 @@ def _flash_kernel(
     t = k_ref.shape[1]
     q_off = pl_program_id(1) * qb
     valid = len_ref[pl_program_id(0)] if masked else t
-    # causal: only kv blocks that intersect rows up to q_off+qb-1 contribute
-    n_kv = (
-        jnp.minimum((q_off + qb + kv_block - 1) // kv_block, t // kv_block)
-        if causal
-        else t // kv_block
-    )
+    # skip provably-empty kv blocks (exact: a skipped block contributes
+    # p = exp(-1e30 - m) = 0): causal -> blocks past row q_off+qb-1;
+    # masked -> blocks entirely beyond `valid` (right-padded lengths), so
+    # padded llama batches do O(T*valid) score work instead of O(T^2)
+    n_kv = t // kv_block
+    if causal:
+        n_kv = jnp.minimum((q_off + qb + kv_block - 1) // kv_block, n_kv)
+    if masked:
+        n_kv = jnp.minimum((valid + kv_block - 1) // kv_block, n_kv)
 
     def body(i, carry):
         acc, m, l = carry
@@ -504,9 +507,6 @@ def flash_attention_packed(
     interpret: bool = False,
 ) -> jax.Array:
     """Non-causal flash attention for head_dim 64 with head-pair packing."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     b, h, t, d = q.shape
     assert d == 64 and h % 2 == 0, (h, d)
     if t % q_block or t % kv_block:

@@ -331,3 +331,62 @@ def test_flash_attention_default_blocks_across_lengths(t, rng):
     kwargs = {} if t % 1024 == 0 else {"q_block": 512, "kv_block": 512}
     out = flash_attention(q, k, v, interpret=True, **kwargs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_flash_attention_short_valid_kv_clamp(rng):
+    """The masked kv-block clamp (skip blocks entirely beyond `valid`) must
+    be exact for non-block-aligned short lengths, including valid < one
+    kv block."""
+    from algonauts2025_tpu.ops.flash_attention import flash_attention
+
+    b, h, t, d = 2, 2, 512, 16
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    lengths = jnp.asarray([37, 130], jnp.int32)  # << T, not block-aligned
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    keymask = jnp.arange(t)[None, None, None] < lengths[:, None, None, None]
+    ref = dot_product_attention(q, k, v, mask=causal & keymask)
+    out = flash_attention(
+        q, k, v, q_block=64, kv_block=128, causal=True, lengths=lengths,
+        interpret=True,
+    )
+    valid_rows = np.asarray(keymask)[:, 0, 0, :]
+    for bi in range(b):
+        np.testing.assert_allclose(
+            np.asarray(out)[bi, :, valid_rows[bi]],
+            np.asarray(ref)[bi, :, valid_rows[bi]],
+            atol=2e-3,
+        )
+
+
+def test_dot_product_attention_fully_masked_row_zeros(rng):
+    """A fully-masked row returns zeros (flash-kernel parity), not the
+    uniform mean of V."""
+    from algonauts2025_tpu.ops.attention import dot_product_attention as dpa
+
+    b, h, t, d = 1, 2, 8, 4
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    mask = jnp.ones((b, h, t, t), bool).at[:, :, 3].set(False)  # row 3 masked
+    out = np.asarray(dpa(q, k, v, mask=mask))
+    np.testing.assert_array_equal(out[:, :, 3], 0.0)
+    assert np.abs(out[:, :, 0]).sum() > 0  # other rows unaffected
+
+
+def test_fused_attention_force_pallas_rejects_mask(rng):
+    from algonauts2025_tpu.ops.attention import fused_attention
+
+    x = jnp.zeros((1, 1, 8, 4), jnp.float32)
+    mask = jnp.ones((1, 1, 8, 8), bool)
+    with pytest.raises(ValueError, match="incompatible with a mask"):
+        fused_attention(x, x, x, mask=mask, force_pallas=True)
+
+
+def test_apply_rotary_preserves_dtype(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 16)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    ang = jnp.asarray(rotary_angles(8, 8))
+    assert apply_rotary(x, ang).dtype == jnp.bfloat16
