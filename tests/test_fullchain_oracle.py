@@ -425,6 +425,21 @@ FUZZ_CASES = [
              "max_context_len": 128},
         ],
     ),
+    (
+        dict(subjects=("sub-01", "sub-02", "sub-03", "sub-05"), duration=30.0,
+             n_parcels=8, with_video=True, seed=44, train_episodes=("e01a",),
+             test_episodes=("e01a",)),
+        [
+            # override_sentences: re-annotate even pre-filled sentence cols
+            {"name": "AddSentenceToWords", "max_unmatched_ratio": 0.7,
+             "override_sentences": True},
+            {"name": "AddSentenceToWords", "max_unmatched_ratio": 0.7,
+             "override_sentences": True},  # idempotent second pass
+            {"name": "AddContextToWords", "sentence_only": True,
+             "max_context_len": 32},
+            {"name": "RemoveMissing"},
+        ],
+    ),
 ]
 
 
