@@ -69,6 +69,10 @@ def test_named_backbone_load_failure_is_loud(monkeypatch):
     from algonauts2025_tpu.features.text import LLAMA3p2
     from algonauts2025_tpu.features.video import VJEPA2
 
+    # fail fast: without offline mode transformers retries the HF hub with
+    # long network timeouts (~60 s per feature on this zero-egress box)
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.setenv("TRANSFORMERS_OFFLINE", "1")
     for feat in (
         Wav2VecBert(model_name="definitely/not-a-model"),
         LLAMA3p2(model_name="definitely/not-a-model"),
