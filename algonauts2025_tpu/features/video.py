@@ -242,15 +242,19 @@ class VJEPA2(LayeredFeatureBase):
     model_name: str = "facebook/vjepa2-vitg-fpc64-256"
     window_batch: int = 4
     #: w8a8 int8 backbone matmuls; changes feature values, so it is part
-    #: of the cache identity (quantized features are their own universe)
-    quantize: bool = False
+    #: of the cache identity (quantized features are their own universe).
+    #: Default True since r4: feature agreement r = 0.99987 vs exact bf16
+    #: at full ViT-G scale (ACCURACY.md) — ~5 orders below the trunk's own
+    #: fitting noise — and the reference itself runs reduced precision
+    #: (fp16 autocast, reference features/video.py).  quantize=False opts
+    #: back into the exact-bf16 path (its own cache universe)
+    quantize: bool = True
     #: with quantize: calibrated static activation scales routed through
     #: the fused Pallas kernels (ops/quant.py: whole-MLP fusion +
     #: in-register quantization) — video stage 8.68 -> 7.94 s/24 windows
-    #: measured end-to-end, feature agreement r = 0.99987 vs exact bf16 at
-    #: full ViT-G scale (ACCURACY.md).  Calibration runs once on a fixed
-    #: seeded input, so values stay deterministic
-    quant_static: bool = False
+    #: measured end-to-end.  Calibration runs once on a fixed seeded
+    #: input, so values stay deterministic
+    quant_static: bool = True
 
     event_type: tp.ClassVar[str] = "Video"
     frequency: tp.ClassVar[float] = OUTPUT_HZ
@@ -258,8 +262,11 @@ class VJEPA2(LayeredFeatureBase):
     #: config change: "1" = r3 decode/resize parity fixes (moviepy floor
     #: frame indexing in io/video.py, torchvision antialias + truncated
     #: long edge in ops/video_prep.py); "2" = center-crop banker's-rounding
-    #: offset parity (one-pixel shift for half the odd resize diffs)
-    _cache_impl_version: tp.ClassVar[str] = "2"
+    #: offset parity (one-pixel shift for half the odd resize diffs);
+    #: "3" = quantize/quant_static defaults flipped to True — the uid drops
+    #: default-VALUED fields (exca contract), so without this bump new
+    #: int8-by-default runs would collide with old bf16-by-default caches
+    _cache_impl_version: tp.ClassVar[str] = "3"
 
     _backbone: VideoBackbone | None = pydantic.PrivateAttr(default=None)
 

@@ -68,8 +68,14 @@ def test_feature_config_quantize_is_cache_relevant():
     from algonauts2025_tpu.features.video import VJEPA2
 
     a = VJEPA2(model_name="tiny-random")
-    b = VJEPA2(model_name="tiny-random", quantize=True)
+    # int8 is the default since r4: opting OUT (exact bf16) is the
+    # non-default universe that must get its own uid
+    b = VJEPA2(model_name="tiny-random", quantize=False)
     assert config_uid(a) != config_uid(b)
+    # explicitly passing the default == omitting it (exca uid contract)
+    assert config_uid(a) == config_uid(
+        VJEPA2(model_name="tiny-random", quantize=True, quant_static=True)
+    )
     # window_batch, by contrast, never changes values
     c = VJEPA2(model_name="tiny-random", window_batch=8)
     assert config_uid(a) == config_uid(c)
@@ -119,7 +125,7 @@ def test_video_feature_static_quant_end_to_end(tmp_path):
     from algonauts2025_tpu.config.uid import config_uid
     from algonauts2025_tpu.features.video import TinyVideoBackbone, VJEPA2
 
-    feat_dyn = VJEPA2(model_name="tiny-random", quantize=True)
+    feat_dyn = VJEPA2(model_name="tiny-random", quantize=True, quant_static=False)
     feat_static = VJEPA2(model_name="tiny-random", quantize=True, quant_static=True)
     assert config_uid(feat_dyn) != config_uid(feat_static)
 

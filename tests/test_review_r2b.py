@@ -148,7 +148,7 @@ def test_nested_uid_exclusions_apply():
 
     a = Parent()
     b = Parent(feature=VJEPA2(model_name="tiny-random", window_batch=8))
-    c = Parent(feature=VJEPA2(model_name="tiny-random", quantize=True))
+    c = Parent(feature=VJEPA2(model_name="tiny-random", quantize=False))
     assert config_uid(a) == config_uid(b)  # excluded nested field
     assert config_uid(a) != config_uid(c)  # value-relevant nested field
     assert config_uid(a) != config_uid(Parent(seed=1))
