@@ -14,6 +14,7 @@ constraint on TPU) while the runtime schedule is identical.
 
 from __future__ import annotations
 
+import functools
 import typing as tp
 
 import flax.linen as nn
@@ -24,6 +25,15 @@ import pydantic
 from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import apply_rotary, fused_attention, rotary_angles
+
+
+def _norm_cls(use_scalenorm: bool):
+    """Norm factory matching x_transformers (>=1.27, the reference's pin):
+    ScaleNorm, else its LayerNorm — learned gamma with a FIXED zero beta
+    and torch's eps=1e-5 (flax defaults are learned bias + eps 1e-6)."""
+    if use_scalenorm:
+        return ScaleNorm
+    return functools.partial(nn.LayerNorm, epsilon=1e-5, use_bias=False)
 
 
 class ScaleNorm(nn.Module):
@@ -104,7 +114,7 @@ class EncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
                  mask: jax.Array | None = None) -> jax.Array:
-        norm_cls = ScaleNorm if self.use_scalenorm else nn.LayerNorm
+        norm_cls = _norm_cls(self.use_scalenorm)
         # per-dim residual gains: x_transformers Residual.residual_scale is
         # nn.Parameter(torch.ones(dim)), not a scalar
         res_a = (
@@ -178,7 +188,7 @@ class TransformerEncoder(nn.Module):
             remat=self.remat,
             name="blocks",
         )(x, None)
-        norm_cls = ScaleNorm if self.use_scalenorm else nn.LayerNorm
+        norm_cls = _norm_cls(self.use_scalenorm)
         return norm_cls(name="final_norm")(x)
 
 

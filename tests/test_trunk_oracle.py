@@ -63,11 +63,27 @@ def ref_apply_rotary(x, freqs):
     return torch.cat((xr, xp), dim=-1)
 
 
+class RefLayerNorm(torch.nn.Module):
+    """x_transformers (>=1.27) LayerNorm: learned gamma, FIXED zero beta,
+    torch F.layer_norm eps=1e-5."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.gamma = torch.nn.Parameter(torch.ones(dim))
+        self.register_buffer("beta", torch.zeros(dim))
+
+    def forward(self, x):
+        return torch.nn.functional.layer_norm(
+            x, x.shape[-1:], self.gamma, self.beta
+        )
+
+
 class RefAttention(torch.nn.Module):
-    def __init__(self, dim, heads, dim_head, rot_dim):
+    def __init__(self, dim, heads, dim_head, rot_dim, causal=False):
         super().__init__()
         inner = heads * dim_head
         self.heads, self.dim_head, self.rot_dim = heads, dim_head, rot_dim
+        self.causal = causal
         self.to_q = torch.nn.Linear(dim, inner, bias=False)
         self.to_k = torch.nn.Linear(dim, inner, bias=False)
         self.to_v = torch.nn.Linear(dim, inner, bias=False)
@@ -81,9 +97,13 @@ class RefAttention(torch.nn.Module):
             return z.view(b, t, h, dh).transpose(1, 2)
 
         q, k, v = split(self.to_q(x)), split(self.to_k(x)), split(self.to_v(x))
-        freqs = ref_rotary_freqs(t, self.rot_dim)
-        q, k = ref_apply_rotary(q, freqs), ref_apply_rotary(k, freqs)
+        if self.rot_dim:
+            freqs = ref_rotary_freqs(t, self.rot_dim)
+            q, k = ref_apply_rotary(q, freqs), ref_apply_rotary(k, freqs)
         dots = torch.einsum("bhqd,bhkd->bhqk", q, k) * dh**-0.5
+        if self.causal:
+            ii = torch.arange(t)
+            dots = dots.masked_fill(ii[None, :] > ii[:, None], -torch.inf)
         attn = dots.softmax(dim=-1)
         out = torch.einsum("bhqk,bhkd->bhqd", attn, v)
         return self.to_out(out.transpose(1, 2).reshape(b, t, h * dh))
@@ -104,32 +124,40 @@ class RefFF(torch.nn.Module):
 
 class RefEncoder(torch.nn.Module):
     """Pre-norm, per-dim scaled residuals, final norm — x_transformers
-    Encoder(rotary_pos_emb=True, use_scalenorm=True, scale_residual=True)."""
+    Encoder/Decoder across the knobs the config surface exposes
+    (reference modeling_utils/models/transformer.py:16-61): scalenorm vs
+    layernorm, rotary on/off, scale_residual on/off, ff_mult, causal."""
 
-    def __init__(self, dim, depth, heads, mult=4):
+    def __init__(self, dim, depth, heads, mult=4, rotary=True,
+                 scalenorm=True, scale_residual=True, causal=False):
         super().__init__()
         dh = dim // heads
-        self.rot_dim = min(max(dh // 2, 32), dh)
+        self.rot_dim = min(max(dh // 2, 32), dh) if rotary else 0
+        self.scale_residual = scale_residual
+        norm = RefScaleNorm if scalenorm else RefLayerNorm
         self.layers = torch.nn.ModuleList()
         for _ in range(depth):
             self.layers.append(
                 torch.nn.ModuleDict(
                     dict(
-                        attn_norm=RefScaleNorm(dim),
-                        attn=RefAttention(dim, heads, dh, self.rot_dim),
-                        ff_norm=RefScaleNorm(dim),
+                        attn_norm=norm(dim),
+                        attn=RefAttention(dim, heads, dh, self.rot_dim, causal),
+                        ff_norm=norm(dim),
                         ff=RefFF(dim, mult),
                     )
                 )
             )
-            self.layers[-1].res_a = torch.nn.Parameter(torch.ones(dim))
-            self.layers[-1].res_f = torch.nn.Parameter(torch.ones(dim))
-        self.final_norm = RefScaleNorm(dim)
+            if scale_residual:
+                self.layers[-1].res_a = torch.nn.Parameter(torch.ones(dim))
+                self.layers[-1].res_f = torch.nn.Parameter(torch.ones(dim))
+        self.final_norm = norm(dim)
 
     def forward(self, x):
         for layer in self.layers:
-            x = x * layer.res_a + layer.attn(layer.attn_norm(x))
-            x = x * layer.res_f + layer.ff(layer.ff_norm(x))
+            res_a = layer.res_a if self.scale_residual else 1.0
+            res_f = layer.res_f if self.scale_residual else 1.0
+            x = x * res_a + layer.attn(layer.attn_norm(x))
+            x = x * res_f + layer.ff(layer.ff_norm(x))
         return self.final_norm(x)
 
 
@@ -141,6 +169,12 @@ def _halfsplit_to_interleaved_perm(dh, rot_dim):
         perm[2 * j] = j
         perm[2 * j + 1] = j + half
     return perm
+
+
+def _norm_params(norm):
+    if isinstance(norm, RefScaleNorm):
+        return {"g": jnp.asarray(norm.g.item())}
+    return {"scale": jnp.asarray(norm.gamma.detach().numpy())}
 
 
 def _transfer(ref: RefEncoder, dim, depth, heads):
@@ -165,52 +199,82 @@ def _transfer(ref: RefEncoder, dim, depth, heads):
             ],
             axis=-1,
         )
-        layers.append(
-            {
-                "block": {
-                    "attn_norm": {"g": jnp.asarray(layer["attn_norm"].g.item())},
-                    "attn": {
-                        "qkv": {"kernel": qkv},
-                        "out": {"kernel": lin(layer["attn"].to_out.weight)},
-                    },
-                    "res_scale_attn": jnp.asarray(layer.res_a.detach().numpy()),
-                    "ff_norm": {"g": jnp.asarray(layer["ff_norm"].g.item())},
-                    "ff": {
-                        "Dense_0": {
-                            "kernel": lin(layer["ff"].net[0].weight),
-                            "bias": jnp.asarray(layer["ff"].net[0].bias.detach().numpy()),
-                        },
-                        "Dense_1": {
-                            "kernel": lin(layer["ff"].net[2].weight),
-                            "bias": jnp.asarray(layer["ff"].net[2].bias.detach().numpy()),
-                        },
-                    },
-                    "res_scale_ff": jnp.asarray(layer.res_f.detach().numpy()),
-                }
-            }
-        )
+        block = {
+            "attn_norm": _norm_params(layer["attn_norm"]),
+            "attn": {
+                "qkv": {"kernel": qkv},
+                "out": {"kernel": lin(layer["attn"].to_out.weight)},
+            },
+            "ff_norm": _norm_params(layer["ff_norm"]),
+            "ff": {
+                "Dense_0": {
+                    "kernel": lin(layer["ff"].net[0].weight),
+                    "bias": jnp.asarray(layer["ff"].net[0].bias.detach().numpy()),
+                },
+                "Dense_1": {
+                    "kernel": lin(layer["ff"].net[2].weight),
+                    "bias": jnp.asarray(layer["ff"].net[2].bias.detach().numpy()),
+                },
+            },
+        }
+        if ref.scale_residual:
+            block["res_scale_attn"] = jnp.asarray(layer.res_a.detach().numpy())
+            block["res_scale_ff"] = jnp.asarray(layer.res_f.detach().numpy())
+        layers.append({"block": block})
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     return {
         "blocks": stacked,
-        "final_norm": {"g": jnp.asarray(ref.final_norm.g.item())},
+        "final_norm": _norm_params(ref.final_norm),
     }
 
 
-@pytest.mark.parametrize("dim,depth,heads,t", [(64, 2, 4, 12), (96, 3, 2, 31)])
-def test_trunk_matches_torch_rederivation(dim, depth, heads, t):
-    torch.manual_seed(depth)
-    ref = RefEncoder(dim, depth, heads)
-    # non-trivial residual gains: ones would mask res_scale wiring bugs
+# spans the deployed config surface (reference TransformerEncoderConfig
+# knobs: ff_mult, use_scalenorm, rotary_pos_emb, scale_residual, causal —
+# causal builds an x_transformers Decoder, transformer.py:58-61)
+ORACLE_CONFIGS = [
+    # dim, depth, heads, t, knobs
+    (64, 2, 4, 12, {}),                          # defaults, shallow
+    (96, 3, 2, 31, {}),                          # defaults, odd seq len
+    (64, 2, 4, 17, {"mult": 2}),                 # ff_mult=2
+    (64, 3, 4, 12, {"scale_residual": False}),   # plain residuals
+    (64, 2, 4, 12, {"rotary": False}),           # no positional encoding
+    (64, 2, 4, 19, {"scalenorm": False}),        # x_transformers LayerNorm
+    (64, 2, 4, 13, {"causal": True}),            # Decoder (causal mask)
+    (96, 2, 3, 12, {"scalenorm": False, "scale_residual": False, "mult": 3}),
+]
+
+
+@pytest.mark.parametrize("dim,depth,heads,t,knobs", ORACLE_CONFIGS)
+def test_trunk_matches_torch_rederivation(dim, depth, heads, t, knobs):
+    torch.manual_seed(depth + len(knobs))
+    ref = RefEncoder(dim, depth, heads, **knobs)
+    # non-trivial gains: ones/zeros would mask wiring bugs
     with torch.no_grad():
         for layer in ref.layers:
-            layer.res_a.mul_(torch.rand_like(layer.res_a) * 0.5 + 0.75)
-            layer.res_f.mul_(torch.rand_like(layer.res_f) * 0.5 + 0.75)
-            layer["attn_norm"].g.mul_(1.3)
+            if ref.scale_residual:
+                layer.res_a.mul_(torch.rand_like(layer.res_a) * 0.5 + 0.75)
+                layer.res_f.mul_(torch.rand_like(layer.res_f) * 0.5 + 0.75)
+            if isinstance(layer["attn_norm"], RefScaleNorm):
+                layer["attn_norm"].g.mul_(1.3)
+            else:
+                layer["attn_norm"].gamma.mul_(
+                    torch.rand_like(layer["attn_norm"].gamma) * 0.5 + 0.75
+                )
     x = torch.randn(2, t, dim)
     with torch.no_grad():
         want = ref(x).numpy()
 
-    model = TransformerEncoder(dim=dim, depth=depth, heads=heads, dim_head=dim // heads)
+    model = TransformerEncoder(
+        dim=dim,
+        depth=depth,
+        heads=heads,
+        dim_head=dim // heads,
+        ff_mult=knobs.get("mult", 4),
+        rotary_pos_emb=knobs.get("rotary", True),
+        use_scalenorm=knobs.get("scalenorm", True),
+        scale_residual=knobs.get("scale_residual", True),
+        causal=knobs.get("causal", False),
+    )
     params = _transfer(ref, dim, depth, heads)
     got = np.asarray(model.apply({"params": params}, jnp.asarray(x.numpy())))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
