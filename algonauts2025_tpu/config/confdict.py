@@ -9,12 +9,15 @@ overrides and cache identity (reference grids/test_run.py:38-41 uses
 from __future__ import annotations
 
 import hashlib
+import logging
 import math
 import typing as tp
 
 import numpy as np
 
 __all__ = ["ConfDict"]
+
+logger = logging.getLogger(__name__)
 
 
 def _flatten(data: tp.Mapping[str, tp.Any], prefix: str = "") -> dict[str, tp.Any]:
@@ -100,7 +103,16 @@ class ConfDict(dict):
                     if isinstance(fv, tp.Mapping) and not fv and fk in self:
                         # merging an EMPTY mapping into an existing subtree
                         # is a no-op (e.g. a grid entry with no infra
-                        # overrides) — assigning would wipe the subtree
+                        # overrides) — assigning would wipe the subtree.
+                        # Logged because an update INTENDED to clear the
+                        # section is otherwise ignored without any signal
+                        # (ADVICE r3 #4; clear explicitly with `del` or by
+                        # assigning the new subtree directly)
+                        logger.debug(
+                            "ConfDict.update: empty mapping for %r left the "
+                            "existing subtree unchanged",
+                            fk,
+                        )
                         continue
                     self[fk] = fv
             else:

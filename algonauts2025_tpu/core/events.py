@@ -381,10 +381,13 @@ class Fmri(BaseDataEvent):
                 f"axis matches the declared {n_expected} timesteps "
                 f"(duration {self.duration} s at {self.frequency} Hz)"
             )
-        if err_time_last == err_time_first:
-            # both axes within tolerance (e.g. 1000 parcels and ~1000 TRs):
-            # orientation is undecidable from shape, and a wrong guess
-            # silently swaps axes — fail loudly instead
+        if err_time_last <= 1 and err_time_first <= 1:
+            # BOTH axes within the +/-1 tolerance (e.g. 1000 parcels and
+            # ~1000 TRs, or a time axis off by one TR while the parcel
+            # count equals the declared timesteps): orientation is
+            # undecidable from shape, and a wrong guess silently swaps
+            # axes — fail loudly instead (r4: previously only the exact
+            # tie raised; the smaller-error axis won otherwise)
             raise ValueError(
                 f"Fmri file {self.filepath} has shape {data.shape}: BOTH axes "
                 f"are within 1 of the declared {n_expected} timesteps, so the "

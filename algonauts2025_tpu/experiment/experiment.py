@@ -325,6 +325,17 @@ class Experiment(pydantic.BaseModel):
         every restart."""
         last = Path(self.infra.folder) / "last.ckpt"
         if last.exists():
+            if self.checkpoint_path:
+                # say so out loud: re-running a folder with a NEW warm-start
+                # checkpoint silently resumes the stale run otherwise
+                # (ADVICE r3 #3)
+                logger.warning(
+                    "Resuming from the run's own %s; the configured "
+                    "checkpoint_path=%s is IGNORED (delete last.ckpt or use "
+                    "a fresh folder to warm-start from it)",
+                    last,
+                    self.checkpoint_path,
+                )
             return last, False
         if self.checkpoint_path:
             path = Path(self.checkpoint_path)

@@ -186,8 +186,11 @@ class JaxTextBackbone(TextBackbone):
         whitespace run, tab, newline, or unicode space falls through to
         full tokenization, where per-word concatenation genuinely can
         diverge); (2) SAMPLED — the first 32 fast-path contexts are
-        verified against full tokenization and the path auto-disables on
-        any mismatch."""
+        verified against full tokenization, then every 64th thereafter
+        FOREVER (a tokenizer whose divergence first appears deep into a
+        run — plausible for a non-Llama model_name swap — would otherwise
+        silently poison the on-disk feature cache), and the path
+        auto-disables on any mismatch."""
         if (
             not self._inc_enabled
             or " " not in t
@@ -202,8 +205,8 @@ class JaxTextBackbone(TextBackbone):
                 got = tuple(self._tokenize_full(w if i == 0 else " " + w))
                 self._word_ids[key] = got
             ids.extend(got)
-        if self._inc_checked < 32:
-            self._inc_checked += 1
+        self._inc_checked += 1
+        if self._inc_checked <= 32 or self._inc_checked % 64 == 0:
             ref = self._tokenize_full(t)
             if ids != ref:
                 logger.warning(

@@ -156,11 +156,15 @@ def test_fmri_event_orientation_validation(tmp_path):
     with _pytest.raises(ValueError, match="ambiguous"):
         make_event(p_ambig).read()
 
-    # one axis exact, the other off by one (40 vs 41): the exact axis wins
-    # over the within-tolerance one instead of raising or misorienting
+    # one axis exact, the other off by one (40 vs 41): STILL ambiguous —
+    # the file could be time-major with the declared length or time-last
+    # one TR long; r4 raises whenever both axes are within tolerance
+    # (r3 let the exact axis win, which silently transposed files whose
+    # true time axis was off by one while parcels matched — ADVICE r3 #2)
     p_close = tmp_path / "close.npy"
     np.save(p_close, np.zeros((n_t, n_t + 1), np.float32))
-    assert make_event(p_close).read().shape == (n_t + 1, n_t)
+    with _pytest.raises(ValueError, match="ambiguous"):
+        make_event(p_close).read()
 
     # off-by-one on one axis only (time-major, one TR short): transposed
     p_trunc = tmp_path / "trunc.npy"
