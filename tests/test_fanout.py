@@ -167,3 +167,33 @@ def test_killed_element_resumes_from_last_ckpt(study, tmp_path):
     assert max(epochs) == 5
     assert sorted(set(epochs)) == sorted(epochs)
     assert epochs.count(0) == 1 and epochs.count(3) == 1
+
+def test_slice_launcher_template_dryrun(study, tmp_path):
+    """The in-tree TPU slice launcher (scripts/launch_tpu_slice.sh, the
+    concrete ALGONAUTS_TPU_LAUNCHER for BASELINE configs #4-5) must drive a
+    job-array element end to end in DRYRUN mode: print the exact gcloud
+    queued-resources plan, then run the element locally."""
+    root, study_path = study
+    script = Path(_REPO_ROOT) / "scripts" / "launch_tpu_slice.sh"
+    folder = tmp_path / "slice"
+    cfg = _base_config(root, study_path, str(folder))
+    cfg_path = tmp_path / "task_00000.json"
+    cfg_path.write_text(json.dumps(cfg, default=str))
+
+    env = _worker_env()
+    env["TPU_SLICE_DRYRUN"] = "1"
+    out = subprocess.run(
+        ["bash", str(script), str(cfg_path)],
+        env=env,
+        capture_output=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr.decode()[-2000:]
+    plan = out.stderr.decode()
+    # the template's gcloud plan actually rendered (all five stages)
+    assert "queued-resources create" in plan
+    assert "--accelerator-type v5litepod-64" in plan
+    assert "tpu-vm ssh" in plan and "--worker=all" in plan
+    assert "queued-resources delete" in plan
+    # and the element really ran
+    assert (folder / "metrics.csv").exists()
