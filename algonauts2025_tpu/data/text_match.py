@@ -19,6 +19,7 @@ __all__ = ["match_list", "split_sentences", "tokenize", "match_text_words", "Tok
 _ABBREV = {
     "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "e.g", "i.e",
     "a.m", "p.m", "u.s", "inc", "ltd", "co", "gen", "col", "capt", "sgt",
+    "ave", "blvd", "rd", "mt", "ft", "dept", "approx",
 }
 
 
@@ -76,15 +77,28 @@ class Token:
     sent: Sentence
 
 
-_SENT_END = re.compile(r"([.!?]+)([\"')\]]*)(\s+|$)")
+_SENT_END = re.compile(r"(?:([.!?]+)([\"')\]]*)|([—–]|--))(\s+|$)")
+
+#: abbreviations that CAN legitimately end a sentence ("lands at 2 a.m.
+#: Naturally, ..."): an uppercase follower overrides the suppression
+_TERMINAL_OK_ABBREV = {"a.m", "p.m", "etc", "u.s", "inc", "ltd", "co"}
 
 
 def split_sentences(text: str) -> list[Sentence]:
     """Rule-based sentence segmentation over raw text.
 
-    Splits after .!? (plus closing quotes/brackets) followed by whitespace.
-    Suppression rules, pinned by tests/test_sentence_segmentation.py:
-    - known abbreviations and single initials ("Mr.", "J.", "a.m.");
+    Splits after .!? (plus closing quotes/brackets) followed by whitespace,
+    and after transcript-style interruption dashes handing over to a
+    capital ("I just— You know what?").  Suppression rules, pinned by
+    tests/test_sentence_segmentation.py and measured against the
+    hand-labeled dialogue corpus (tests/test_segmenter_divergence.py):
+    - a dotted acronym ("Ph.D.", "D.M.V.") splits only before an
+      uppercase follower (its '.' is part of the token, not terminal —
+      but lowercased ASR-style streams must still split after ordinary
+      words, so the rule keys on the token, not the follower alone);
+    - known abbreviations and single initials ("Mr.", "J."); the
+      sentence-final-capable ones ("a.m.", "etc.") DO split before an
+      uppercase follower;
     - "No." only when followed by a digit ("No. 5");
     - an ellipsis followed by a non-capital continues the sentence;
     - terminal punctuation inside quotes followed by a lowercase word is
@@ -96,20 +110,39 @@ def split_sentences(text: str) -> list[Sentence]:
     boundaries = [0]
     for m in _SENT_END.finditer(text):
         end = m.end()
-        marks, trail = m.group(1), m.group(2)
+        marks, trail, dash = m.group(1), m.group(2), m.group(3)
         following = text[end : end + 1]  # first char after the whitespace
+        if dash is not None:
+            # interruption dash: a boundary only when the next utterance
+            # starts with a capital ("fin— No, YOU listen")
+            if following.isupper() and end < len(text):
+                boundaries.append(end)
+            continue
         # ellipsis that does not hand over to a capital keeps flowing
         if set(marks) == {"."} and len(marks) > 1 and not following.isupper():
             continue
         # quoted terminal + lowercase word = dialogue attribution
         if any(c in "\"'" for c in trail) and following.islower():
             continue
-        # word immediately before the punctuation
-        before = text[: m.start()].rstrip()
-        last_word = before.split()[-1].lower().strip("\"'()[]") if before.split() else ""
-        last_word = last_word.rstrip(".")
         if "!" not in marks and "?" not in marks:
-            if last_word in _ABBREV or (len(last_word) == 1 and last_word.isalpha()):
+            # word immediately before the punctuation
+            before = text[: m.start()].rstrip()
+            last_word = (
+                before.split()[-1].lower().strip("\"'()[]") if before.split() else ""
+            )
+            last_word = last_word.rstrip(".")
+            # dotted acronym ("ph.d", "d.m.v"): the '.' belongs to the
+            # token; split only when handing over to a capital
+            if "." in last_word and not last_word.replace(".", "").isdigit():
+                if not following.isupper():
+                    continue
+                if last_word in _ABBREV and last_word not in _TERMINAL_OK_ABBREV:
+                    continue  # "e.g. Friday" still flows
+            elif last_word in _ABBREV and not (
+                last_word in _TERMINAL_OK_ABBREV and following.isupper()
+            ):
+                continue
+            if len(last_word) == 1 and last_word.isalpha():
                 continue
             if last_word == "no" and following.isdigit():
                 continue
