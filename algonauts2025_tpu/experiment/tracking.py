@@ -9,6 +9,7 @@ package is importable and not in offline mode.
 from __future__ import annotations
 
 import json
+import logging
 import time
 import typing as tp
 from pathlib import Path
@@ -73,19 +74,30 @@ class WandbLoggerConfig(pydantic.BaseModel):
         if not self.offline:
             try:
                 import wandb
-
-                wandb_run = wandb.init(
-                    project=self.project,
-                    group=self.group,
-                    name=self.name,
-                    entity=self.entity,
-                    id=run_id,
-                    dir=str(save_dir),
-                    config=xp_config,
-                    reinit=True,
-                )
-            except Exception:
-                wandb_run = None  # offline image: local JSONL only
+            except ImportError:
+                wandb = None  # offline image: local JSONL only
+            if wandb is not None:
+                try:
+                    wandb_run = wandb.init(
+                        project=self.project,
+                        group=self.group,
+                        name=self.name,
+                        entity=self.entity,
+                        id=run_id,
+                        dir=str(save_dir),
+                        config=xp_config,
+                        reinit=True,
+                    )
+                except Exception as exc:
+                    # wandb importable but init failed (auth, network, bad
+                    # settings): fall back to the JSONL stream, but say so —
+                    # a silently-absent mirror looks identical to offline
+                    logging.getLogger(__name__).warning(
+                        "wandb.init failed (%s); metrics go to the local "
+                        "JSONL stream only",
+                        exc,
+                    )
+                    wandb_run = None
         logger = RunLogger(save_dir, run_id=run_id, wandb_run=wandb_run)
         if xp_config is not None:
             (Path(save_dir) / "run_config.json").write_text(

@@ -1,6 +1,7 @@
 """Coverage for utilities: prefetch, profiling, tracking, task cloning."""
 
 import json
+import sys
 
 import numpy as np
 import pytest
@@ -42,6 +43,76 @@ def test_local_run_logger(tmp_path):
     lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
     assert lines[0]["loss"] == 1.0 and lines[0]["_step"] == 3
     assert json.loads((tmp_path / "run_config.json").read_text()) == {"a": 1}
+
+
+class _FakeWandbRun:
+    def __init__(self, kwargs):
+        self.init_kwargs = kwargs
+        self.logged: list = []
+        self.finished = False
+
+    def log(self, metrics, step=None):
+        self.logged.append((dict(metrics), step))
+
+    def finish(self):
+        self.finished = True
+
+
+class _FakeWandb:
+    """Stand-in for the wandb package (absent in this image): records the
+    init/log/finish surface the mirror path drives (reference
+    modeling_utils/utils.py:163-210 runs the real one via Lightning)."""
+
+    def __init__(self, fail_init=False):
+        self.fail_init = fail_init
+        self.runs: list = []
+
+    def init(self, **kwargs):
+        if self.fail_init:
+            raise RuntimeError("api key missing")
+        run = _FakeWandbRun(kwargs)
+        self.runs.append(run)
+        return run
+
+
+def test_wandb_mirror_executes(tmp_path, monkeypatch):
+    fake = _FakeWandb()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    logger = WandbLoggerConfig(project="p", group="g", name="n").build(
+        save_dir=tmp_path, xp_config={"a": 1}, id="run1"
+    )
+    logger.log({"loss": 2.0}, step=7)
+    logger.finish()
+    (run,) = fake.runs
+    assert run.init_kwargs["project"] == "p"
+    assert run.init_kwargs["group"] == "g"
+    assert run.init_kwargs["id"] == "run1"
+    assert run.init_kwargs["config"] == {"a": 1}
+    assert run.logged == [({"loss": 2.0}, 7)]
+    assert run.finished
+    # the JSONL stream is written regardless of the mirror
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["loss"] == 2.0 and lines[0]["_step"] == 7
+
+
+def test_wandb_offline_skips_init(tmp_path, monkeypatch):
+    fake = _FakeWandb()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    logger = WandbLoggerConfig(offline=True, project="p").build(save_dir=tmp_path)
+    logger.log({"loss": 1.0}, step=0)
+    logger.finish()
+    assert fake.runs == []
+
+
+def test_wandb_init_failure_warns_and_falls_back(tmp_path, monkeypatch, caplog):
+    fake = _FakeWandb(fail_init=True)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    with caplog.at_level("WARNING", logger="algonauts2025_tpu.experiment.tracking"):
+        logger = WandbLoggerConfig(project="p").build(save_dir=tmp_path)
+    assert any("wandb.init failed" in r.message for r in caplog.records)
+    logger.log({"loss": 3.0}, step=1)  # JSONL path still works
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["loss"] == 3.0
 
 
 def test_task_clone_obj(tmp_path):
