@@ -49,13 +49,24 @@ def busy(x, n):
 
 
 x0 = jax.device_put(np.random.default_rng(0).standard_normal((4096, 4096), dtype=np.float32))
-# calibrate the busy loop to ~8 s
-t0 = time.time()
-r = busy(x0, 50)
+# warm up (compile) OUTSIDE the calibration window, then calibrate on a
+# CHAINED input (output feeds input) so the remote runtime cannot dedup
+# the execution (CLAUDE.md r3: repeated identical executions are deduped).
+r = busy(x0, 5)
 _ = float(r[0, 0])
-per = (time.time() - t0) / 50
+t0 = time.time()
+r = busy(r, 100)
+_ = float(r[0, 0])
+per = (time.time() - t0) / 100
 n_busy = max(10, int(8.0 / per))
-print(f"busy: {per*1e3:.1f} ms/iter -> n={n_busy}", flush=True)
+print(f"busy: {per*1e3:.2f} ms/iter -> n={n_busy}", flush=True)
+
+# busy-alone reference, measured for real (chained input, no dedup)
+t0 = time.time()
+r = busy(r, n_busy)
+_ = float(r[0, 0])
+busy_alone = time.time() - t0
+print(f"busy alone: {busy_alone:.3f}s", flush=True)
 
 # (b) idle-device fetch baseline (fresh array per fetch — host copies cache)
 idle = []
@@ -67,21 +78,23 @@ for s in range(3):
     idle.append(time.time() - t0)
 print(f"idle fetch: {sorted(idle)} s", flush=True)
 
-# (a)+(c): busy-device fetch
+# (a)+(c): busy-device fetch.  Each trial chains the busy input from the
+# previous result so every execution is unique (dedup-proof).
 for trial in range(3):
     a = make_fetch(10 + trial)
     _ = float(a[0, 0, 0])
     t0 = time.time()
-    fut = busy(x0, n_busy)  # async dispatch
+    fut = busy(r, n_busy)  # async dispatch
     t_dispatch = time.time() - t0
     t1 = time.time()
     np.asarray(a)
     t_fetch = time.time() - t1
     _ = float(fut[0, 0])
     t_total = time.time() - t0
+    r = fut
     print(
         f"trial {trial}: dispatch {t_dispatch:.3f}s fetch-under-load {t_fetch:.3f}s "
-        f"total {t_total:.3f}s (busy alone ~{n_busy*per:.2f}s)",
+        f"total {t_total:.3f}s (busy alone {busy_alone:.2f}s)",
         flush=True,
     )
 
