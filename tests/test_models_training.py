@@ -103,6 +103,40 @@ def test_fmri_encoder_contrastive():
     assert float(losses["audio"]) > 0
 
 
+def test_info_nce_matches_naive_softmax_form():
+    """The logsumexp-minus-diag form must equal the textbook
+    eye-mask/log_softmax InfoNCE in value AND gradient (the fast form
+    replaced it to drop two bt x bt logp materializations)."""
+    from algonauts2025_tpu.models.fmri_encoder import _info_nce, _safe_normalize
+
+    def naive(q, k, tau=0.07):
+        bt = q.shape[0] * q.shape[1]
+        qn = _safe_normalize(q.reshape(bt, -1))
+        kn = _safe_normalize(k.reshape(bt, -1))
+        logits = (qn @ kn.T) / tau
+
+        def ce_diag(lg):
+            logp = jax.nn.log_softmax(lg, axis=-1)
+            eye = jnp.eye(lg.shape[0], dtype=logp.dtype)
+            return -(logp * eye).sum(axis=-1).mean()
+
+        return 0.5 * (ce_diag(logits) + ce_diag(logits.T))
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((3, 7, 16)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 7, 16)), dtype=jnp.float32)
+    # include an exactly-zero row (padded timestep) — the historical NaN trap
+    q = q.at[0, 0].set(0.0)
+    v_fast, g_fast = jax.value_and_grad(_info_nce)(q, k)
+    v_naive, g_naive = jax.value_and_grad(naive)(q, k)
+    np.testing.assert_allclose(float(v_fast), float(v_naive), rtol=1e-6)
+    # the zero row's grad magnitude is ~x/sqrt(eps) ~ 1e5; compare relatively
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_naive), rtol=1e-5, atol=1e-6
+    )
+    assert np.isfinite(np.asarray(g_fast)).all()
+
+
 def test_modality_dropout_keeps_one():
     model, cfg, fd = _tiny_model(modality_dropout=1.0)
     batch = _batch(fd)
