@@ -10,6 +10,7 @@ optional type filter; ``prepare_features`` runs each feature's bulk
 from __future__ import annotations
 
 import logging
+import os
 from concurrent.futures import Future, ThreadPoolExecutor, as_completed
 from typing import Any, Dict, List, Optional, Sequence, Type, Union
 
@@ -87,29 +88,44 @@ def extract_events(obj: Any, types: Optional[TypesParam] = None) -> List[Event]:
 def prepare_features(
     features: Union[List[Any], Dict[str, Any]],
     events: Any,
+    overlap: Optional[bool] = None,
 ) -> None:
     """Run ``prepare()`` for every feature.
 
     Features whose infra places them on an external cluster are submitted
     to a thread pool first so their remote work overlaps the local passes
     (reference helpers.py:66-106 semantics).
+
+    ``overlap=True`` (the default; set ``ALGONAUTS_OVERLAP_PREPARE=0`` to
+    disable) additionally runs the LOCAL features concurrently.  Device
+    compute serializes on the accelerator queue either way, but each
+    feature's host work (video decode, tokenization, wav parse, disk
+    cache writes) and its device->host result fetches ride under the
+    other features' device compute — measured fully concurrent on the
+    remote-TPU tunnel (scripts/probe_overlap.py: an 11.4 MB D2H fetch
+    under a saturated device costs the same as against an idle one, and
+    leaves the device timeline untouched).  Per-feature caches are
+    independent files, so results are identical to the serial order.
     """
     events = extract_events(events)
     if isinstance(features, dict):
         features = list(features.values())
     todo = list(features)
+    if overlap is None:
+        overlap = os.environ.get("ALGONAUTS_OVERLAP_PREPARE", "1") != "0"
 
     def _is_external(feature: Any) -> bool:
         infra = getattr(feature, "infra", None)
         return getattr(infra, "cluster", None) == "external"
 
-    with ThreadPoolExecutor() as pool:
+    with ThreadPoolExecutor(max_workers=max(1, len(todo))) as pool:
         pending: Dict[Future, str] = {}
         for feature in todo:
-            if _is_external(feature):
+            if _is_external(feature) or overlap:
+                logger.info("Preparing feature (overlapped): %s", type(feature).__name__)
                 pending[pool.submit(feature.prepare, events)] = type(feature).__name__
         for feature in todo:
-            if _is_external(feature):
+            if _is_external(feature) or overlap:
                 continue
             logger.info("Preparing feature: %s", type(feature).__name__)
             feature.prepare(events)

@@ -96,22 +96,12 @@ def log_tunnel_weather() -> None:
         log(f"tunnel D2H probe failed: {e!r}")
 
 
-def bench_text(words: list[str], contexts: list[str]) -> float:
-    """Seconds to encode all word contexts with Llama-3.2-3B.
-
-    Drives the PRODUCTION feature path (features/text.py LLAMA3p2._compute):
-    nested-prefix running contexts route through the single-forward chain
-    path; broken chains fall back to the batched path — exactly what a
-    real study run executes."""
+def build_text_backbone():
+    """Full-size Llama-3.2-3B with random weights (throughput-identical)."""
     import jax
     import jax.numpy as jnp
 
-    from algonauts2025_tpu.core.events import Word
-    from algonauts2025_tpu.features.text import (
-        HashTokenizer,
-        JaxTextBackbone,
-        LLAMA3p2,
-    )
+    from algonauts2025_tpu.features.text import HashTokenizer, JaxTextBackbone
     from algonauts2025_tpu.models.backbones.llama import LLAMA_3P2_3B, LlamaBackbone
 
     model = LlamaBackbone(LLAMA_3P2_3B)
@@ -119,7 +109,18 @@ def bench_text(words: list[str], contexts: list[str]) -> float:
         lambda k: model.init(k, jnp.zeros((1, 8), jnp.int32))["params"]
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    backbone = JaxTextBackbone(model, params, HashTokenizer(LLAMA_3P2_3B.vocab_size), 0)
+    return JaxTextBackbone(model, params, HashTokenizer(LLAMA_3P2_3B.vocab_size), 0)
+
+
+def bench_text(words: list[str], contexts: list[str], backbone) -> float:
+    """Seconds to encode all word contexts with Llama-3.2-3B.
+
+    Drives the PRODUCTION feature path (features/text.py LLAMA3p2._compute):
+    nested-prefix running contexts route through the single-forward chain
+    path; broken chains fall back to the batched path — exactly what a
+    real study run executes."""
+    from algonauts2025_tpu.core.events import Word
+    from algonauts2025_tpu.features.text import LLAMA3p2
 
     feat = LLAMA3p2()
     feat.set_backbone(backbone)
@@ -135,31 +136,34 @@ def bench_text(words: list[str], contexts: list[str]) -> float:
         return time.time() - t0
 
     one_pass()  # warmup: compile chain/batch buckets, warm the token cache
-    dt = median_pass(one_pass)
-    del params, backbone
-    gc.collect()
-    return dt
+    return median_pass(one_pass)
 
 
-def bench_audio(wav_path: Path) -> float:
-    """Seconds to extract w2v-bert features for the full wav."""
+def build_audio_backbone():
+    """Full-size w2v-bert-2.0 conformer with random weights."""
     import jax
     import jax.numpy as jnp
 
     from algonauts2025_tpu.features.audio import JaxAudioBackbone
-    from algonauts2025_tpu.io import wav as wavio
     from algonauts2025_tpu.models.backbones.wav2vec_bert import (
         W2V_BERT_2_0,
         Wav2VecBertBackbone,
     )
-    from algonauts2025_tpu.ops.resample import resample_poly
 
     model = Wav2VecBertBackbone(W2V_BERT_2_0)
     params = jax.jit(
         lambda k: model.init(k, jnp.zeros((1, 16, 160)))["params"]
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-    backbone = JaxAudioBackbone(model, params)
+    return JaxAudioBackbone(model, params)
+
+
+def bench_audio(wav_path: Path, backbone) -> float:
+    """Seconds to extract w2v-bert features for the full wav."""
+    import jax.numpy as jnp
+
+    from algonauts2025_tpu.io import wav as wavio
+    from algonauts2025_tpu.ops.resample import resample_poly
 
     info = wavio.info(str(wav_path))
 
@@ -176,19 +180,16 @@ def bench_audio(wav_path: Path) -> float:
         run()
         return time.time() - t0
 
-    dt = median_pass(one_pass)
-    del params, backbone
-    gc.collect()
-    return dt
+    return median_pass(one_pass)
 
 
-def bench_video(video_path: Path) -> float:
-    """Seconds to extract V-JEPA2 ViT-G features at 2 Hz x 64 frames."""
+def build_video_backbone():
+    """Full-size V-JEPA2 ViT-G with random weights (int8-calibrated when
+    BENCH_QUANTIZE=1, the production default)."""
     import jax
     import jax.numpy as jnp
 
     from algonauts2025_tpu.features.video import JaxVideoBackbone
-    from algonauts2025_tpu.io.video import VideoClip
     from algonauts2025_tpu.models.backbones.vjepa2 import VJEPA2_VITG, VJEPA2Backbone
 
     import dataclasses
@@ -221,7 +222,12 @@ def bench_video(video_path: Path) -> float:
             cfg.frames_per_clip,
             crop,
         )
-    backbone = JaxVideoBackbone(model, params, n_frames=64, crop_size=crop)
+    return JaxVideoBackbone(model, params, n_frames=64, crop_size=crop)
+
+
+def bench_video(video_path: Path, backbone) -> float:
+    """Seconds to extract V-JEPA2 ViT-G features at 2 Hz x 64 frames."""
+    from algonauts2025_tpu.io.video import VideoClip
 
     wb = int(os.environ.get("BENCH_WB", 4))  # windows per device batch
     clip = VideoClip(str(video_path))
@@ -257,10 +263,54 @@ def bench_video(video_path: Path) -> float:
         clip.close()
         return dt
 
-    dt = median_pass(one_pass)
-    del params, backbone
-    gc.collect()
-    return dt
+    return median_pass(one_pass)
+
+
+def bench_overlapped(
+    words: list[str],
+    contexts: list[str],
+    wav_path: Path,
+    video_path: Path,
+    text_backbone,
+    audio_backbone,
+    video_backbone,
+) -> float:
+    """Wall seconds for the full trimodal prepare via the PRODUCTION
+    driver: ``prepare_features(..., overlap=True)`` — the shipping default
+    (data/helpers.py).  The three features' host decode/tokenization and
+    D2H result fetches ride under each other's device compute (measured
+    concurrent on this tunnel, scripts/probe_overlap.py), so the wall
+    clock approaches the pure device-compute total instead of the sum of
+    per-stage walls.  Fresh feature objects with RAM-only stores each
+    pass -> every pass recomputes everything."""
+    from algonauts2025_tpu.core.events import Sound, Video, Word
+    from algonauts2025_tpu.data.helpers import prepare_features
+    from algonauts2025_tpu.features.audio import Wav2VecBert
+    from algonauts2025_tpu.features.text import LLAMA3p2
+    from algonauts2025_tpu.features.video import VJEPA2
+
+    wb = int(os.environ.get("BENCH_WB", 4))
+    events = [
+        Word(start=0.5 * i, duration=0.4, text=w, context=c, timeline="bench")
+        for i, (w, c) in enumerate(zip(words, contexts))
+    ]
+    events.append(Sound(start=0.0, timeline="bench", filepath=str(wav_path)))
+    events.append(Video(start=0.0, timeline="bench", filepath=str(video_path)))
+
+    def one_pass() -> float:
+        ft = LLAMA3p2()
+        ft.set_backbone(text_backbone)
+        fa = Wav2VecBert()
+        fa.set_backbone(audio_backbone)
+        fv = VJEPA2(window_batch=wb)
+        fv.set_backbone(video_backbone)
+        feats = {"video": fv, "text": ft, "audio": fa}
+        t0 = time.time()
+        prepare_features(feats, events, overlap=True)
+        return time.time() - t0
+
+    one_pass()  # warmup (stage benches already compiled; warms event/token caches)
+    return median_pass(one_pass)
 
 
 def bench_train() -> float:
@@ -359,19 +409,35 @@ def main() -> None:
         " ".join(words[max(0, i - CONTEXT_WORDS) : i + 1]) for i in range(n_words)
     ]
 
-    t_text = bench_text(words, contexts)
+    text_backbone = build_text_backbone()
+    t_text = bench_text(words, contexts, text_backbone)
     log(f"text (Llama-3.2-3B, {n_words} words): {t_text:.2f}s")
-    t_audio = bench_audio(wav_path)
+    audio_backbone = build_audio_backbone()
+    t_audio = bench_audio(wav_path, audio_backbone)
     log(f"audio (w2v-bert-2.0, {STIM_SECONDS:.0f}s wav): {t_audio:.2f}s")
     if have_video:
-        t_video = bench_video(video_path)
+        video_backbone = build_video_backbone()
+        t_video = bench_video(video_path, video_backbone)
         log(f"video (V-JEPA2 ViT-G, {int(2*STIM_SECONDS)} windows x 64 frames): {t_video:.2f}s")
+        # headline: the production overlapped driver (all three backbones
+        # resident — same as a real study run, where features keep their
+        # backbones for the whole prepare pass)
+        t_overlap = bench_overlapped(
+            words, contexts, wav_path, video_path,
+            text_backbone, audio_backbone, video_backbone,
+        )
+        log(f"trimodal overlapped prepare: {t_overlap:.2f}s "
+            f"(sequential stage sum {t_text + t_audio + t_video:.2f}s)")
+        del video_backbone
     else:
         t_video = 0.0
+        t_overlap = None
         log("video: skipped (no encoder available for synthetic mkv)")
         # a bimodal number against a video-dominated baseline would be
         # ~8x inflated: mark the metric so the record cannot masquerade
         # as a trimodal result
+    del text_backbone, audio_backbone
+    gc.collect()
 
     if os.environ.get("BENCH_SKIP_TRAIN"):
         t_step = None
@@ -379,7 +445,10 @@ def main() -> None:
         t_step = bench_train()
         log(f"train (flagship 0.9B trunk, batch 16 trimodal): {t_step:.3f}s/step")
 
-    total = t_text + t_audio + t_video
+    sequential_total = t_text + t_audio + t_video
+    # the headline measures the shipping path: overlapped prepare_features
+    # (falls back to the sequential sum when video is unavailable)
+    total = t_overlap if t_overlap is not None else sequential_total
     value = STIM_SECONDS / total
     metric = "stimulus-sec/sec/chip (trimodal feature extraction)"
     vs_baseline = round(value / A100_BASELINE_EST, 3)
@@ -396,6 +465,8 @@ def main() -> None:
         # self-describing record: which video path produced `value`
         # (int8 w8a8 fused is the production default since r4)
         "video_quantize": os.environ.get("BENCH_QUANTIZE", "1") != "0",
+        "overlapped_seconds": round(t_overlap, 3) if t_overlap is not None else None,
+        "sequential_seconds": round(sequential_total, 3),
         "stage_seconds": {
             "text": round(t_text, 3),
             "audio": round(t_audio, 3),

@@ -327,3 +327,47 @@ def test_segment_dataset_drop_remainder():
     # shuffle keeps the drop-to-multiple contract
     dropped_sh = list(ds.batches(batch_size=4, shuffle=True, seed=0, drop_remainder=True))
     assert [b.data["x"].shape[0] for b in dropped_sh] == [4, 4]
+
+
+def test_prepare_features_overlap():
+    """overlap=True runs local features concurrently (threads), overlap=False
+    strictly serially; both prepare everything and propagate exceptions."""
+    import threading
+    import time as _time
+
+    from algonauts2025_tpu.data.helpers import prepare_features
+
+    class _Feat:
+        def __init__(self):
+            self.thread = None
+            self.t_span = None
+
+        def prepare(self, events):
+            self.thread = threading.current_thread().name
+            t0 = _time.time()
+            _time.sleep(0.2)
+            self.t_span = (t0, _time.time())
+
+    feats = [_Feat(), _Feat(), _Feat()]
+    t0 = _time.time()
+    prepare_features(feats, [], overlap=True)
+    wall = _time.time() - t0
+    assert all(f.t_span is not None for f in feats)
+    # three 0.2 s prepares overlapped: wall well under the serial 0.6 s
+    assert wall < 0.45, f"overlapped prepare took {wall:.2f}s (serial ~0.6s)"
+
+    serial = [_Feat(), _Feat(), _Feat()]
+    prepare_features(serial, [], overlap=False)
+    assert all(f.t_span is not None for f in serial)
+    # serial: no two spans overlap
+    spans = sorted(f.t_span for f in serial)
+    assert all(a[1] <= b[0] + 1e-3 for a, b in zip(spans, spans[1:]))
+
+    class _Boom(_Feat):
+        def prepare(self, events):
+            raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        prepare_features([_Feat(), _Boom()], [], overlap=True)
