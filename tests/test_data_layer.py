@@ -371,3 +371,46 @@ def test_prepare_features_overlap():
 
     with _pytest.raises(RuntimeError, match="boom"):
         prepare_features([_Feat(), _Boom()], [], overlap=True)
+
+
+def test_prepare_features_overlap_identical_caches(tmp_path):
+    """Overlapped prepare writes byte-identical per-feature caches to the
+    serial order (real tiny text+audio features, on-disk ArrayStores)."""
+    import numpy as np
+
+    from algonauts2025_tpu.cache.map_runner import MapInfra
+    from algonauts2025_tpu.core.events import Sound, Word
+    from algonauts2025_tpu.data.helpers import prepare_features
+    from algonauts2025_tpu.features.audio import TARGET_SR, TinyAudioBackbone, Wav2VecBert
+    from algonauts2025_tpu.features.text import LLAMA3p2, TinyTextBackbone
+    from algonauts2025_tpu.io import wav as wavio
+
+    fp = tmp_path / "w.wav"
+    rng = np.random.default_rng(0)
+    wavio.write(fp, rng.standard_normal(int(1.5 * TARGET_SR)).astype(np.float32), TARGET_SR)
+    events = [
+        Word(start=0.5 * i, duration=0.4, text=w, context=" ".join(["a b c"] * (i + 1)),
+             timeline="tl")
+        for i, w in enumerate(["a", "b", "c"])
+    ]
+    events.append(Sound(start=0.0, timeline="tl", filepath=str(fp)))
+
+    text_bb = TinyTextBackbone()
+    audio_bb = TinyAudioBackbone(hidden_size=32, num_layers=1)
+
+    def run(mode_dir, overlap):
+        ft = LLAMA3p2(model_name="tiny-random", infra=MapInfra(folder=str(mode_dir)))
+        ft.set_backbone(text_bb)
+        fa = Wav2VecBert(model_name="tiny-random", infra=MapInfra(folder=str(mode_dir)))
+        fa.set_backbone(audio_bb)
+        prepare_features({"text": ft, "audio": fa}, events, overlap=overlap)
+        # read back through the same cached path
+        return (
+            [np.asarray(x) for x in ft._get_data(events[:3])],
+            [np.asarray(x) for x in fa._get_data(events[3:])],
+        )
+
+    t_ser, a_ser = run(tmp_path / "serial", overlap=False)
+    t_ovl, a_ovl = run(tmp_path / "overlap", overlap=True)
+    for a, b in zip(t_ser + a_ser, t_ovl + a_ovl):
+        np.testing.assert_array_equal(a, b)
