@@ -439,11 +439,18 @@ class LLAMA3p2(LayeredFeatureBase):
         return merged
 
     #: words per chain dispatch: sub-chains of a prefix chain are prefix
-    #: chains themselves, so splitting is exact; n sub-chains cost
-    #: ~(n+1)/2 x one full-chain forward but let the (L+1, W, D) feature
-    #: fetch pipeline behind the next sub-chain's compute — on hosts where
-    #: D2H is slow relative to compute the fetch is the text-stage floor
-    CHAIN_CHUNK: tp.ClassVar[int] = 16
+    #: chains themselves, so splitting is exact.  64 aligns exactly with
+    #: the wb=64 word bucket (no padded fetch bytes at real chain lengths;
+    #: 128 would land in the 256 bucket and double the wire traffic) and
+    #: the r4 on-chip sweep measured 64 faster than 16 (0.546 vs 0.631 s
+    #: per 30 s stimulus): fewer sub-chain forwards win now that D2H
+    #: fetches ride the tunnel concurrently with compute
+    #: (scripts/probe_overlap.py; sweep: scripts/probe_text_chunk.py).
+    #: Chunking is structurally exact but bucket changes move bf16
+    #: rounding at the ~1-ULP/layer level — inherent to bf16 backbone
+    #: execution (the batched path's bucket already depends on batch
+    #: composition), see ACCURACY.md "bf16 width-bucket sensitivity"
+    CHAIN_CHUNK: tp.ClassVar[int] = 64
 
     def _compute(self, events: tp.Sequence[Word]) -> tp.Iterator[np.ndarray]:
         backbone = self.backbone

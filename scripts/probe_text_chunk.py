@@ -71,10 +71,22 @@ def main() -> None:
         if baseline is None:
             baseline = np.stack(outs)
         else:
-            # chunking must not change values (sub-chains of a prefix chain
-            # are exact); bf16 wire => tolerances are rounding-only
-            delta = float(np.abs(np.stack(outs) - baseline).max())
-            assert delta < 1e-2, f"CHAIN_CHUNK={chunk} changed features: {delta}"
+            # Chunking is STRUCTURALLY exact (sub-chains of a prefix chain;
+            # fp32 CPU agreement 2.4e-6), but a different chunk can land the
+            # forward in a different token-width bucket, and on device bf16
+            # accumulates ~1 ULP/layer of reordering noise across the 28
+            # scanned layers (measured r4: max-abs 1.0 at |x|~68, corr
+            # 0.999996 — the batched production path shows the identical
+            # bucket-dependence).  Gate on correlation + median rel, not a
+            # flat absolute tolerance.
+            cur = np.stack(outs)
+            corr = float(np.corrcoef(cur.ravel(), baseline.ravel())[0, 1])
+            med_rel = float(
+                np.median(np.abs(cur - baseline) / (np.abs(baseline) + 1e-3))
+            )
+            assert corr > 0.9999 and med_rel < 1e-3, (
+                f"CHAIN_CHUNK={chunk} changed features: corr={corr} med_rel={med_rel}"
+            )
         times = []
         for _ in range(3):
             t0 = time.time()
