@@ -134,3 +134,12 @@ def prepare_features(
             if exc is not None:
                 logger.warning("Error preparing feature %s: %s", pending[done], exc)
                 raise exc
+
+    # every feature's arrays are cached now; drop lazily-built backbones so
+    # their device params (~10 GB for the three full-size frozen models on a
+    # cold run) do not squat HBM through training.  Injected backbones
+    # (set_backbone) are kept; a later cache miss rebuilds transparently.
+    for feature in todo:
+        release = getattr(feature, "release_backbone", None)
+        if callable(release):
+            release()

@@ -215,10 +215,12 @@ class Wav2VecBert(LayeredFeatureBase):
 
     def set_backbone(self, backbone: AudioBackbone) -> None:
         self._backbone = backbone
+        self._backbone_owned = False
 
     @property
     def backbone(self) -> AudioBackbone:
         if self._backbone is None:
+            self._backbone_owned = True
             if self.model_name == "tiny-random":
                 self._backbone = TinyAudioBackbone()
             else:

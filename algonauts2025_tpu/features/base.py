@@ -42,6 +42,9 @@ class FeatureBase(pydantic.BaseModel):
     _missing_default: np.ndarray | None = pydantic.PrivateAttr(default=None)
     _event_types_helper: EventTypesHelper = pydantic.PrivateAttr()
     _cached_map: CachedMap | None = pydantic.PrivateAttr(default=None)
+    #: True when the feature built its own backbone lazily (vs an injected
+    #: one via set_backbone) — only owned backbones are released
+    _backbone_owned: bool = pydantic.PrivateAttr(default=False)
 
     def model_post_init(self, _ctx: tp.Any) -> None:
         super().model_post_init(_ctx)
@@ -79,6 +82,17 @@ class FeatureBase(pydantic.BaseModel):
                 item_uid=type(self).item_uid,
             )
         return self._cached_map(list(events))
+
+    def release_backbone(self) -> None:
+        """Drop a lazily-built backbone's reference (and with it its device
+        params — after a cold prepare the three frozen backbones hold ~10 GB
+        of HBM that training needs).  Backbones injected via set_backbone
+        belong to the caller and are kept.  Purely a memory operation: a
+        later cache miss transparently rebuilds the identical backbone (HF
+        weights by name, or the seeded tiny-random)."""
+        if self._backbone_owned and getattr(self, "_backbone", None) is not None:
+            self._backbone = None
+            self._backbone_owned = False
 
     # -- public API -------------------------------------------------------
     def prepare(self, obj: tp.Any) -> None:

@@ -364,10 +364,12 @@ class LLAMA3p2(LayeredFeatureBase):
 
     def set_backbone(self, backbone: TextBackbone) -> None:
         self._backbone = backbone
+        self._backbone_owned = False
 
     @property
     def backbone(self) -> TextBackbone:
         if self._backbone is None:
+            self._backbone_owned = True
             if self.model_name == "tiny-random":
                 self._backbone = TinyTextBackbone()
             else:

@@ -279,10 +279,12 @@ class VJEPA2(LayeredFeatureBase):
 
     def set_backbone(self, backbone: VideoBackbone) -> None:
         self._backbone = backbone
+        self._backbone_owned = False
 
     @property
     def backbone(self) -> VideoBackbone:
         if self._backbone is None:
+            self._backbone_owned = True
             if self.model_name == "tiny-random":
                 self._backbone = TinyVideoBackbone(
                     quantize=self.quantize, quant_static=self.quant_static

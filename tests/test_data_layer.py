@@ -414,3 +414,43 @@ def test_prepare_features_overlap_identical_caches(tmp_path):
     t_ovl, a_ovl = run(tmp_path / "overlap", overlap=True)
     for a, b in zip(t_ser + a_ser, t_ovl + a_ovl):
         np.testing.assert_array_equal(a, b)
+
+
+def test_prepare_features_releases_owned_backbones(tmp_path):
+    """After prepare, a LAZILY-built backbone is dropped (its device params
+    are the biggest HBM tenant; training needs the room) while an INJECTED
+    one is kept; dataset-time reads keep working from the cache, and a
+    genuine later miss transparently rebuilds the same seeded backbone."""
+    import numpy as np
+
+    from algonauts2025_tpu.cache.map_runner import MapInfra
+    from algonauts2025_tpu.core.events import Sound
+    from algonauts2025_tpu.data.helpers import prepare_features
+    from algonauts2025_tpu.features.audio import TARGET_SR, TinyAudioBackbone, Wav2VecBert
+
+    fp = tmp_path / "w.wav"
+    rng = np.random.default_rng(0)
+    from algonauts2025_tpu.io import wav as wavio
+
+    wavio.write(fp, rng.standard_normal(int(1.5 * TARGET_SR)).astype(np.float32), TARGET_SR)
+    events = [Sound(start=0.0, timeline="tl", filepath=str(fp))]
+
+    lazy = Wav2VecBert(model_name="tiny-random", infra=MapInfra(folder=str(tmp_path / "c1")))
+    injected = Wav2VecBert(model_name="tiny-random", infra=MapInfra(folder=str(tmp_path / "c2")))
+    injected.set_backbone(TinyAudioBackbone(hidden_size=32, num_layers=1))
+    prepare_features([lazy, injected], events)
+    assert lazy._backbone is None, "lazily-built backbone must be released"
+    assert injected._backbone is not None, "injected backbone must be kept"
+    # cached read works without a backbone
+    out = lazy(events, start=0.0, duration=1.0)
+    assert out.shape[-1] == 2  # 1.0 s at 2 Hz
+    # a genuine miss (new event) rebuilds the identical seeded backbone
+    fp2 = tmp_path / "w2.wav"
+    wavio.write(fp2, rng.standard_normal(TARGET_SR).astype(np.float32), TARGET_SR)
+    more = [Sound(start=0.0, timeline="tl2", filepath=str(fp2))]
+    vals = [np.asarray(x) for x in lazy._get_data(more)]
+    assert lazy._backbone is not None  # rebuilt on demand
+    fresh = Wav2VecBert(model_name="tiny-random", infra=MapInfra(folder=str(tmp_path / "c3")))
+    ref = [np.asarray(x) for x in fresh._get_data(more)]
+    for a, b in zip(vals, ref):
+        np.testing.assert_array_equal(a, b)
