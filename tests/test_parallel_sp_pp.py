@@ -1,0 +1,213 @@
+"""Sequence-parallel ring attention + pipeline-parallel stage sharding.
+
+Exactness contracts: ring attention matches single-device softmax
+attention to fp32 roundoff (the combine is a reassociation of the same
+flash algebra); pipeline_scan is BITWISE equal to a sequential layer
+scan over the same microbatch shapes (the schedule moves layers across
+devices but never changes the math applied to one microbatch).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from algonauts2025_tpu.parallel.mesh import get_mesh
+from algonauts2025_tpu.parallel.pipeline import pipeline_scan, pipelined_llama_states
+from algonauts2025_tpu.parallel.sequence import sequence_parallel_attention
+
+
+def _ref_attention(q, k, v):
+    d = q.shape[-1]
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * (d**-0.5)
+    return jax.nn.softmax(s, axis=-1) @ v.astype(jnp.float32)
+
+
+class TestRingAttention:
+    def test_matches_single_device_fp32(self):
+        mesh = get_mesh(8, model_parallel=1)
+        rng = np.random.default_rng(0)
+        b, h, t, d = 2, 3, 64, 16
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+            for _ in range(3)
+        )
+        out = sequence_parallel_attention(q, k, v, mesh, "data")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref_attention(q, k, v)), atol=2e-6
+        )
+
+    def test_bf16_within_cast_noise(self):
+        mesh = get_mesh(8, model_parallel=1)
+        rng = np.random.default_rng(1)
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((1, 2, 32, 8)), jnp.bfloat16)
+            for _ in range(3)
+        )
+        out = sequence_parallel_attention(q, k, v, mesh, "data")
+        assert out.dtype == jnp.bfloat16
+        ref = _ref_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=2e-2
+        )
+
+    def test_large_scores_no_overflow(self):
+        # running-max merge must survive scores far outside exp range
+        mesh = get_mesh(8, model_parallel=1)
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.standard_normal((1, 1, 16, 8)) * 40, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 1, 16, 8)) * 40, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 1, 16, 8)), jnp.float32)
+        out = sequence_parallel_attention(q, k, v, mesh, "data")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_ref_attention(q, k, v)), atol=1e-5
+        )
+
+    def test_rejects_indivisible_seq(self):
+        mesh = get_mesh(8, model_parallel=1)
+        x = jnp.zeros((1, 1, 12, 8), jnp.float32)
+        with pytest.raises(ValueError, match="not divisible"):
+            sequence_parallel_attention(x, x, x, mesh, "data")
+
+
+def _toy_stack(rng, l, d):
+    return {
+        "w": jnp.asarray(rng.standard_normal((l, d, d)) * 0.3, jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((l, d)) * 0.1, jnp.float32),
+    }
+
+
+def _toy_layer(p, a):
+    return jnp.tanh(a @ p["w"] + p["b"])
+
+
+def _toy_ref(params, x, l):
+    for i in range(l):
+        x = _toy_layer(jax.tree.map(lambda z: z[i], params), x)
+    return x
+
+
+class TestPipelineScan:
+    @pytest.mark.parametrize("n_micro", [1, 2, 3, 6])
+    def test_bitwise_matches_sequential(self, n_micro):
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("stage",))
+        rng = np.random.default_rng(0)
+        l, b, d = 16, 6, 8
+        params = _toy_stack(rng, l, d)
+        x = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+
+        # the bitwise contract is per-microbatch: the schedule never
+        # changes the math applied to one microbatch, but XLA's matmul
+        # rounding is shape-dependent (an (1,d)@(d,d) gemv rounds
+        # differently than (6,d)@(d,d)), so the reference must run on
+        # the same microbatch shapes the pipeline uses.
+        mb = b // n_micro
+
+        def seq_ref(depth):
+            return jnp.concatenate(
+                [_toy_ref(params, x[i : i + mb], depth) for i in range(0, b, mb)]
+            )
+
+        out, states = pipeline_scan(
+            _toy_layer, params, x, mesh, n_microbatches=n_micro,
+            collect=lambda a: a,
+        )
+        assert jnp.array_equal(out, seq_ref(l))
+        assert states.shape == (l, b, d)
+        # collected state of the last layer IS the output
+        assert jnp.array_equal(states[-1], out)
+        # intermediate layers match a partial sequential run
+        assert jnp.array_equal(states[4], seq_ref(5))
+        # and the full-batch reference agrees to fp roundoff
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(_toy_ref(params, x, l)), atol=1e-6
+        )
+
+    def test_no_collect(self):
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("stage",))
+        rng = np.random.default_rng(1)
+        params = _toy_stack(rng, 8, 4)
+        x = jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)
+        out, states = pipeline_scan(_toy_layer, params, x, mesh, n_microbatches=2)
+        assert states is None
+        assert jnp.array_equal(out, _toy_ref(params, x, 8))
+
+    def test_pytree_activations(self):
+        # activation = (x, const) tuple: the constant rides the pipeline
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("stage",))
+        rng = np.random.default_rng(2)
+        params = _toy_stack(rng, 8, 4)
+        x = jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)
+        c = jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)
+
+        def layer(p, act):
+            h, const = act
+            return (_toy_layer(p, h) + const, const)
+
+        (out, const_out), _ = pipeline_scan(
+            layer, params, (x, c), mesh, n_microbatches=2
+        )
+        ref = x
+        for i in range(8):
+            ref = _toy_layer(jax.tree.map(lambda z: z[i], params), ref) + c
+        assert jnp.array_equal(out, ref)
+        assert jnp.array_equal(const_out, c)
+
+    def test_rejects_bad_shapes(self):
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("stage",))
+        params = _toy_stack(np.random.default_rng(0), 12, 4)  # 12 % 8 != 0
+        x = jnp.zeros((4, 4), jnp.float32)
+        with pytest.raises(ValueError, match="not divisible"):
+            pipeline_scan(_toy_layer, params, x, mesh)
+        params = _toy_stack(np.random.default_rng(0), 8, 4)
+        with pytest.raises(ValueError, match="microbatch"):
+            pipeline_scan(_toy_layer, params, x, mesh, n_microbatches=3)
+
+
+class TestPipelinedLlama:
+    def test_bitwise_matches_scanned_backbone(self):
+        from algonauts2025_tpu.models.backbones.llama import (
+            LlamaBackbone,
+            LlamaConfig,
+        )
+
+        cfg = LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=48,
+            num_layers=4, num_heads=4, num_kv_heads=2, head_dim=8,
+            dtype=jnp.float32,
+        )
+        model = LlamaBackbone(cfg)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, 64, (4, 12)))
+        lengths = np.array([12, 9, 7, 12])
+        mask = jnp.asarray((np.arange(12)[None] < lengths[:, None]).astype(np.int32))
+        params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+        ref = model.apply({"params": params}, ids, mask)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("stage",))
+        out = pipelined_llama_states(cfg, params, ids, mask, mesh, n_microbatches=2)
+        assert out.shape == ref.shape
+        assert jnp.array_equal(jnp.isnan(out), jnp.isnan(ref))
+        assert jnp.array_equal(jnp.nan_to_num(out), jnp.nan_to_num(ref))
+
+    def test_left_padded_rows_poisoned(self):
+        # the right-pad NaN contract survives the pipelined path
+        from algonauts2025_tpu.models.backbones.llama import LlamaConfig
+
+        cfg = LlamaConfig(
+            vocab_size=32, hidden_size=16, intermediate_size=24,
+            num_layers=2, num_heads=2, num_kv_heads=1, head_dim=8,
+            dtype=jnp.float32,
+        )
+        from algonauts2025_tpu.models.backbones.llama import LlamaBackbone
+
+        model = LlamaBackbone(cfg)
+        ids = jnp.zeros((2, 8), jnp.int32)
+        mask = jnp.asarray([[1] * 8, [0, 0, 1, 1, 1, 1, 1, 1]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)["params"]
+        mesh = Mesh(np.array(jax.devices()[:2]), ("stage",))
+        out = pipelined_llama_states(cfg, params, ids, mask, mesh, n_microbatches=2)
+        assert not jnp.isnan(out[:, 0]).any()
+        assert jnp.isnan(out[1:, 1]).all()
