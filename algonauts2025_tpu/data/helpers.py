@@ -118,28 +118,31 @@ def prepare_features(
         infra = getattr(feature, "infra", None)
         return getattr(infra, "cluster", None) == "external"
 
-    with ThreadPoolExecutor(max_workers=max(1, len(todo))) as pool:
-        pending: Dict[Future, str] = {}
+    try:
+        with ThreadPoolExecutor(max_workers=max(1, len(todo))) as pool:
+            pending: Dict[Future, str] = {}
+            for feature in todo:
+                if _is_external(feature) or overlap:
+                    logger.info("Preparing feature (overlapped): %s", type(feature).__name__)
+                    pending[pool.submit(feature.prepare, events)] = type(feature).__name__
+            for feature in todo:
+                if _is_external(feature) or overlap:
+                    continue
+                logger.info("Preparing feature: %s", type(feature).__name__)
+                feature.prepare(events)
+            for done in as_completed(pending):
+                exc = done.exception()
+                if exc is not None:
+                    logger.warning("Error preparing feature %s: %s", pending[done], exc)
+                    raise exc
+    finally:
+        # drop lazily-built backbones so their device params (~10 GB for the
+        # three full-size frozen models on a cold run) do not squat HBM
+        # through training — including when one feature's prepare raised and
+        # the caller retries (the others' backbones are already resident).
+        # Injected backbones (set_backbone) are kept; a later cache miss
+        # rebuilds transparently.
         for feature in todo:
-            if _is_external(feature) or overlap:
-                logger.info("Preparing feature (overlapped): %s", type(feature).__name__)
-                pending[pool.submit(feature.prepare, events)] = type(feature).__name__
-        for feature in todo:
-            if _is_external(feature) or overlap:
-                continue
-            logger.info("Preparing feature: %s", type(feature).__name__)
-            feature.prepare(events)
-        for done in as_completed(pending):
-            exc = done.exception()
-            if exc is not None:
-                logger.warning("Error preparing feature %s: %s", pending[done], exc)
-                raise exc
-
-    # every feature's arrays are cached now; drop lazily-built backbones so
-    # their device params (~10 GB for the three full-size frozen models on a
-    # cold run) do not squat HBM through training.  Injected backbones
-    # (set_backbone) are kept; a later cache miss rebuilds transparently.
-    for feature in todo:
-        release = getattr(feature, "release_backbone", None)
-        if callable(release):
-            release()
+            release = getattr(feature, "release_backbone", None)
+            if callable(release):
+                release()

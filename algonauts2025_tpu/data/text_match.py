@@ -113,9 +113,13 @@ def split_sentences(text: str) -> list[Sentence]:
         marks, trail, dash = m.group(1), m.group(2), m.group(3)
         following = text[end : end + 1]  # first char after the whitespace
         if dash is not None:
-            # interruption dash: a boundary only when the next utterance
-            # starts with a capital ("fin— No, YOU listen")
-            if following.isupper() and end < len(text):
+            # interruption dash: a boundary only when the dash is attached
+            # to the truncated word AND the next utterance starts with a
+            # capital ("fin— No, YOU listen").  A free-standing dash
+            # ("the — Joey, stop it — museum") is a parenthetical aside,
+            # not an interruption, whatever the case of what follows.
+            attached = m.start() > 0 and not text[m.start() - 1].isspace()
+            if attached and following.isupper() and end < len(text):
                 boundaries.append(end)
             continue
         # ellipsis that does not hand over to a capital keeps flowing
@@ -132,8 +136,10 @@ def split_sentences(text: str) -> list[Sentence]:
             )
             last_word = last_word.rstrip(".")
             # dotted acronym ("ph.d", "d.m.v"): the '.' belongs to the
-            # token; split only when handing over to a capital
-            if "." in last_word and not last_word.replace(".", "").isdigit():
+            # token; split only when handing over to a capital.  Keyed on
+            # an ALPHABETIC dot-stripped core so prices/percent decimals
+            # ("$4.50", "20.5%") stay ordinary sentence-final words
+            if "." in last_word and last_word.replace(".", "").isalpha():
                 if not following.isupper():
                     continue
                 if last_word in _ABBREV and last_word not in _TERMINAL_OK_ABBREV:

@@ -76,6 +76,17 @@ class WandbLoggerConfig(pydantic.BaseModel):
                 import wandb
             except ImportError:
                 wandb = None  # offline image: local JSONL only
+            except Exception as exc:
+                # importable-but-broken install (protobuf mismatch, partial
+                # package): degrade to JSONL like the offline case, loudly —
+                # the mirror must never take the training run down with it
+                logging.getLogger(__name__).warning(
+                    "wandb import failed (%s: %s); falling back to local "
+                    "JSONL logging only",
+                    type(exc).__name__,
+                    exc,
+                )
+                wandb = None
             if wandb is not None:
                 try:
                     wandb_run = wandb.init(

@@ -140,6 +140,36 @@ class LlamaLayer(nn.Module):
         return (x, cos, sin, mask, lengths), x.astype(jnp.float32)
 
 
+def attention_inputs(cfg: "LlamaConfig", attention_mask: jax.Array):
+    """Layer-invariant attention inputs from a padding mask.
+
+    Returns ``(cos, sin, mask, lengths, right_padded)``: the per-batch
+    llama3 RoPE tables for cumsum-derived positions, the causal+pad
+    (B, 1, T, T) mask, per-row token counts, and the right-pad-contract
+    validity flag per row.  Shared by :class:`LlamaBackbone` and the
+    pipeline-parallel path (parallel/pipeline.py) so the preamble cannot
+    drift between them.
+    """
+    t = attention_mask.shape[-1]
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    pad = attention_mask[:, None, None, :].astype(bool)
+    mask = causal & pad
+
+    # per-batch positions -> per-batch cos/sin
+    inv = jnp.asarray(_llama3_rope_freqs(cfg))
+    ang = positions[..., None].astype(jnp.float32) * inv  # (B, T, hd/2)
+    emb = jnp.concatenate([ang, ang], axis=-1)  # (B, T, hd)
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+
+    lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
+    right_padded = jnp.all(
+        attention_mask.astype(bool) == (jnp.arange(t)[None] < lengths[:, None]),
+        axis=-1,
+    )
+    return cos, sin, mask, lengths, right_padded
+
+
 class LlamaBackbone(nn.Module):
     """Frozen decoder; returns all hidden states (L+1, B, T, D).
 
@@ -169,17 +199,7 @@ class LlamaBackbone(nn.Module):
             name="embed_tokens",
         )
         x = embed(input_ids)
-        positions = jnp.cumsum(attention_mask, axis=-1) - 1
-        positions = jnp.maximum(positions, 0)
-        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
-        pad = attention_mask[:, None, None, :].astype(bool)
-        mask = causal & pad
-
-        # per-batch positions -> per-batch cos/sin
-        inv = jnp.asarray(_llama3_rope_freqs(cfg))
-        ang = positions[..., None].astype(jnp.float32) * inv  # (B, T, hd/2)
-        emb = jnp.concatenate([ang, ang], axis=-1)  # (B, T, hd)
-        cos, sin = jnp.cos(emb), jnp.sin(emb)
+        cos, sin, mask, lengths, right_padded = attention_inputs(cfg, attention_mask)
 
         ScannedLayer = nn.scan(
             LlamaLayer,
@@ -187,16 +207,11 @@ class LlamaBackbone(nn.Module):
             split_rngs={"params": True},
             length=cfg.num_layers,
         )
-        lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
         # CONTRACT: masks are right-padded (all callers pad via _pad_ids).
         # The TPU flash path masks columns >= lengths, which is only correct
         # for right padding; rather than let a left-padded mask silently
         # attend to pad tokens on TPU while the XLA fallback stays correct,
         # poison violating rows with NaN on every backend.
-        right_padded = jnp.all(
-            attention_mask.astype(bool) == (jnp.arange(t)[None] < lengths[:, None]),
-            axis=-1,
-        )
         x = jnp.where(right_padded[:, None, None], x, jnp.nan)
         (x, _, _, _, _), layer_states = ScannedLayer(cfg, name="layers")(
             (x, cos, sin, mask, lengths), None

@@ -13,6 +13,10 @@ stage applies its local layers (an inner ``lax.scan``) to the
 activation it holds and ``ppermute``\\ s the result to the next stage —
 a pure ICI neighbor exchange, no host involvement.  Bubble fraction is
 (S-1)/(M+S-1); the activation working set per device is one microbatch.
+Layer-invariant inputs (RoPE tables, masks) ride as ``consts``: they
+are looked up per microbatch index from the replicated input instead of
+flowing through the ppermute chain and output buffers, so only the
+genuinely-evolving activation pays communication and buffer memory.
 
 The reference never needs this (Lightning DDP replicates the whole
 model, reference main.py:388-394); it exists here so the 3B text
@@ -38,8 +42,9 @@ __all__ = ["pipeline_scan", "pipelined_llama_states"]
 def _pipeline_local(
     params_local: tp.Any,
     microbatches: tp.Any,
+    consts: tp.Any,
     *,
-    layer_fn: tp.Callable[[tp.Any, tp.Any], tp.Any],
+    layer_fn: tp.Callable[..., tp.Any],
     collect: tp.Callable[[tp.Any], jax.Array] | None,
     n_microbatches: int,
     axis_name: str,
@@ -47,11 +52,12 @@ def _pipeline_local(
     """Per-device body (inside shard_map).
 
     ``params_local``: pytree with leading axis L_local (this stage's
-    layers).  ``microbatches``: replicated activation pytree with
+    layers).  ``microbatches``/``consts``: replicated pytrees with
     leading axis M.  Returns (outputs, states): ``outputs`` the final
     activations (M, ...) — real values psum'd off the last stage — and
-    ``states`` the per-layer collected states (L_total, M, ...) via
-    all_gather (or None when ``collect`` is None).
+    ``states`` the per-layer collected states (L_local, M, ...) whose
+    leading axis shard_map stitches into L_total (or a dummy when
+    ``collect`` is None).
     """
     stage = lax.axis_index(axis_name)
     n_stage = lax.psum(1, axis_name)
@@ -63,19 +69,20 @@ def _pipeline_local(
         return lax.pcast(x, axis_name, to="varying")
 
     one_mb = jax.tree.map(lambda x: x[0], microbatches)
+    one_c = jax.tree.map(lambda x: x[0], consts)
 
-    def local_apply(act):
+    def local_apply(act, const):
         # params are stage-varying, so the scan carry must be too
         act = jax.tree.map(vary, act)
 
         def body(a, p):
-            a2 = layer_fn(p, a)
+            a2 = layer_fn(p, a, const)
             st = collect(a2) if collect is not None else jnp.zeros((), jnp.float32)
             return a2, st
         return lax.scan(body, act, params_local)
 
     # static shapes for the state buffer: (L_local, M+1 garbage slot, ...)
-    st_shape = jax.eval_shape(local_apply, one_mb)[1]
+    st_shape = jax.eval_shape(local_apply, one_mb, one_c)[1]
     l_local = st_shape.shape[0]
 
     # activations flow stage s -> s+1; stage 0 receives zeros (unused)
@@ -83,11 +90,13 @@ def _pipeline_local(
 
     def step(t, carry):
         buf, outputs, states = carry
+        # microbatch this stage works on at step t (clipped during bubbles)
         mb_idx = jnp.clip(t - stage, 0, m - 1)
         valid = (t >= stage) & (t - stage < m)
         fresh = jax.tree.map(lambda x: x[jnp.clip(t, 0, m - 1)], microbatches)
         inp = jax.tree.map(lambda f, b: jnp.where(stage == 0, f, b), fresh, buf)
-        out, sts = local_apply(inp)
+        const = jax.tree.map(lambda x: x[mb_idx], consts)
+        out, sts = local_apply(inp, const)
         # writes land in garbage slot m when this step is a bubble
         w_idx = jnp.where(valid, mb_idx, m)
         states = states.at[:, w_idx].set(sts)
@@ -116,21 +125,28 @@ def _pipeline_local(
 
 
 def pipeline_scan(
-    layer_fn: tp.Callable[[tp.Any, tp.Any], tp.Any],
+    layer_fn: tp.Callable[..., tp.Any],
     stacked_params: tp.Any,
     activations: tp.Any,
     mesh: Mesh,
     axis_name: str = "stage",
     n_microbatches: int = 2,
     collect: tp.Callable[[tp.Any], jax.Array] | None = None,
+    consts: tp.Any = None,
 ):
     """Apply an (L, ...)-stacked layer sequence, stages sharded over the mesh.
 
     ``layer_fn(params_one_layer, act) -> act`` is the single-layer body;
     ``activations`` is a pytree whose leaves all have leading batch axis
     B (B must divide ``n_microbatches``; each microbatch is B/M rows).
-    ``collect(act)`` optionally extracts a per-layer state (the Llama
-    hidden-states use case); collected states return as (L, B, ...).
+    ``consts`` optionally carries layer-INVARIANT per-row inputs (same
+    leading axis B): they reach the layer as a third argument
+    (``layer_fn(params, act, const)``) but never enter the ppermute
+    chain, output buffers, or the final psum — pass masks/position
+    tables here, and keep ``activations`` to what the layers actually
+    transform.  ``collect(act)`` optionally extracts a per-layer state
+    (the Llama hidden-states use case); collected states return as
+    (L, B, ...).
 
     Returns ``(final_activations, states_or_None)`` with the batch axis
     restored.
@@ -143,23 +159,25 @@ def pipeline_scan(
     if b % n_microbatches:
         raise ValueError(f"batch {b} not divisible by {n_microbatches} microbatches")
     mb = b // n_microbatches
-    micro = jax.tree.map(
-        lambda x: x.reshape((n_microbatches, mb) + x.shape[1:]), activations
-    )
+
+    fn3 = layer_fn if consts is not None else (lambda p, a, _c: layer_fn(p, a))
+    to_micro = lambda x: x.reshape((n_microbatches, mb) + x.shape[1:])
+    micro = jax.tree.map(to_micro, activations)
+    consts_m = jax.tree.map(to_micro, consts) if consts is not None else ()
 
     fn = jax.shard_map(
         functools.partial(
             _pipeline_local,
-            layer_fn=layer_fn,
+            layer_fn=fn3,
             collect=collect,
             n_microbatches=n_microbatches,
             axis_name=axis_name,
         ),
         mesh=mesh,
-        in_specs=(P(axis_name), P()),
+        in_specs=(P(axis_name), P(), P()),
         out_specs=(P(), P(axis_name)),
     )
-    outputs, states = fn(stacked_params, micro)
+    outputs, states = fn(stacked_params, micro, consts_m)
     outputs = jax.tree.map(
         lambda x: x.reshape((b,) + x.shape[2:]), outputs
     )
@@ -180,48 +198,48 @@ def pipelined_llama_states(
 ) -> jax.Array:
     """LlamaBackbone forward with the 28-layer stack pipeline-sharded.
 
-    Reproduces ``LlamaBackbone.__call__`` (models/backbones/llama.py:157)
-    bit-for-bit per microbatch: same embed, rope tables, right-pad
-    contract, and (L+1, B, T, D) hidden-state stack — only the layer
-    loop is distributed.  ``params`` is the backbone's param tree (the
-    ``layers`` subtree carries the stacked (L, ...) leaves).
+    Reproduces ``LlamaBackbone.__call__`` (models/backbones/llama.py)
+    bit-for-bit per microbatch: the preamble is the SAME
+    ``attention_inputs`` helper the backbone calls (rope tables, masks,
+    right-pad contract), and the (L+1, B, T, D) hidden-state stack is
+    assembled identically — only the layer loop is distributed.  RoPE
+    tables and masks ride as pipeline consts (no ICI traffic for them);
+    just the (mb, T, D) hidden state flows stage to stage.  ``params``
+    is the backbone's param tree (the ``layers`` subtree carries the
+    stacked (L, ...) leaves).
     """
-    from ..models.backbones.llama import LlamaLayer, RMSNorm, _llama3_rope_freqs
+    from ..models.backbones.llama import (
+        LlamaLayer,
+        RMSNorm,
+        attention_inputs,
+    )
 
     b, t = input_ids.shape
     if attention_mask is None:
         attention_mask = jnp.ones((b, t), jnp.int32)
     embed_tbl = params["embed_tokens"]["embedding"]
     x = jnp.take(embed_tbl, input_ids, axis=0).astype(cfg.dtype)
-    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=-1) - 1, 0)
-    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
-    pad = attention_mask[:, None, None, :].astype(bool)
-    mask = causal & pad
-    inv = jnp.asarray(_llama3_rope_freqs(cfg))
-    ang = positions[..., None].astype(jnp.float32) * inv
-    emb = jnp.concatenate([ang, ang], axis=-1)
-    cos, sin = jnp.cos(emb), jnp.sin(emb)
-    lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
-    right_padded = jnp.all(
-        attention_mask.astype(bool) == (jnp.arange(t)[None] < lengths[:, None]),
-        axis=-1,
-    )
+    cos, sin, mask, lengths, right_padded = attention_inputs(cfg, attention_mask)
     x = jnp.where(right_padded[:, None, None], x, jnp.nan)
 
     layer = LlamaLayer(cfg)
 
-    def layer_fn(p, act):
-        (x_, cos_, sin_, mask_, len_), _y = layer.apply({"params": p}, act, None)
-        return (x_, cos_, sin_, mask_, len_)
+    def layer_fn(p, x_, const):
+        cos_, sin_, mask_, len_ = const
+        (x2, *_), _y = layer.apply(
+            {"params": p}, (x_, cos_, sin_, mask_, len_), None
+        )
+        return x2
 
-    (x, *_), states = pipeline_scan(
+    x, states = pipeline_scan(
         layer_fn,
         params["layers"],
-        (x, cos, sin, mask, lengths),
+        x,
         mesh,
         axis_name=axis_name,
         n_microbatches=n_microbatches,
-        collect=lambda act: act[0].astype(jnp.float32),
+        collect=lambda x_: x_.astype(jnp.float32),
+        consts=(cos, sin, mask, lengths),
     )
     x = RMSNorm(cfg.rms_eps).apply({"params": params["final_norm"]}, x)
     head = jnp.take(embed_tbl, input_ids, axis=0).astype(jnp.float32)[None]

@@ -98,9 +98,9 @@ def sequence_parallel_attention(
     """(B, H, T, D) full attention with T sharded over ``mesh[axis_name]``.
 
     The global arrays are resharded so the sequence axis spans the mesh
-    axis; each device runs :func:`ring_attention_local`.  T must divide
-    the axis size.  Exactness vs the single-device path is pinned by
-    ``tests/test_parallel_sp_pp.py``.
+    axis; each device runs :func:`ring_attention_local`.  The mesh axis
+    size must divide T.  Exactness vs the single-device path is pinned
+    by ``tests/test_parallel_sp_pp.py``.
     """
     n = mesh.shape[axis_name]
     t = q.shape[2]

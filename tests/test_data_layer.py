@@ -416,6 +416,39 @@ def test_prepare_features_overlap_identical_caches(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_prepare_features_releases_backbones_on_prepare_failure(tmp_path):
+    """When one feature's prepare raises, backbones already built by the
+    OTHERS are still released (r4 review: the release loop was skipped on
+    failure, leaving ~10 GB of frozen params squatting HBM through a
+    caller's retry)."""
+    import numpy as np
+
+    from algonauts2025_tpu.cache.map_runner import MapInfra
+    from algonauts2025_tpu.core.events import Sound
+    from algonauts2025_tpu.data.helpers import prepare_features
+    from algonauts2025_tpu.features.audio import TARGET_SR, Wav2VecBert
+    from algonauts2025_tpu.io import wav as wavio
+
+    fp = tmp_path / "w.wav"
+    wavio.write(
+        fp,
+        np.random.default_rng(0).standard_normal(TARGET_SR).astype(np.float32),
+        TARGET_SR,
+    )
+    events = [Sound(start=0.0, timeline="tl", filepath=str(fp))]
+    lazy = Wav2VecBert(
+        model_name="tiny-random", infra=MapInfra(folder=str(tmp_path / "c1"))
+    )
+
+    class Exploding:
+        def prepare(self, events):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        prepare_features([lazy, Exploding()], events)
+    assert lazy._backbone is None, "built backbone must be released on failure"
+
+
 def test_prepare_features_releases_owned_backbones(tmp_path):
     """After prepare, a LAZILY-built backbone is dropped (its device params
     are the biggest HBM tenant; training needs the room) while an INJECTED

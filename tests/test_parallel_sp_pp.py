@@ -156,6 +156,33 @@ class TestPipelineScan:
         assert jnp.array_equal(out, ref)
         assert jnp.array_equal(const_out, c)
 
+    def test_consts_match_flowing_pytree(self):
+        # the consts fast path (no ppermute/output buffers for invariant
+        # inputs) must be bitwise-equal to flowing the same values
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("stage",))
+        rng = np.random.default_rng(3)
+        params = _toy_stack(rng, 8, 4)
+        x = jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)
+        c = jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)
+
+        def layer_flow(p, act):
+            h, const = act
+            return (_toy_layer(p, h) + const, const)
+
+        def layer_const(p, h, const):
+            return _toy_layer(p, h) + const[0]
+
+        (ref, _), ref_states = pipeline_scan(
+            layer_flow, params, (x, c), mesh, n_microbatches=2,
+            collect=lambda act: act[0],
+        )
+        out, states = pipeline_scan(
+            layer_const, params, x, mesh, n_microbatches=2,
+            collect=lambda h: h, consts=(c,),
+        )
+        assert jnp.array_equal(out, ref)
+        assert jnp.array_equal(states, ref_states)
+
     def test_rejects_bad_shapes(self):
         mesh = Mesh(np.array(jax.devices()).reshape(8), ("stage",))
         params = _toy_stack(np.random.default_rng(0), 12, 4)  # 12 % 8 != 0

@@ -102,6 +102,18 @@ CASES = [
      ["It was i.e. a total disaster.", "Everyone saw."]),
     ("Bring the files e.g. the red ones. Thanks.",
      ["Bring the files e.g. the red ones.", "Thanks."]),
+    # decimals with a currency/percent sign are ordinary sentence-final
+    # words, not dotted acronyms (r4 review: '$4.50' false-merged)
+    ("it cost $4.50. we paid anyway.",
+     ["it cost $4.50.", "we paid anyway."]),
+    ("inflation hit 20.5%. prices rose again.",
+     ["inflation hit 20.5%.", "prices rose again."]),
+    # a free-standing dash is a parenthetical aside, not an interruption,
+    # even before a capitalized word (r4 review: false-split)
+    ("We went to the — Joey, stop it — museum yesterday.",
+     ["We went to the — Joey, stop it — museum yesterday."]),
+    # attached interruption dash still splits before a capital
+    ("fin— No, YOU listen.", ["fin—", "No, YOU listen."]),
 ]
 
 

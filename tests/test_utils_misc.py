@@ -115,6 +115,42 @@ def test_wandb_init_failure_warns_and_falls_back(tmp_path, monkeypatch, caplog):
     assert lines[0]["loss"] == 3.0
 
 
+def test_wandb_broken_import_warns_and_falls_back(tmp_path, monkeypatch, caplog):
+    """An importable-but-broken wandb (the classic protobuf-mismatch
+    TypeError at import time) must degrade to JSONL-only with a warning,
+    not take the run down (r4 review: the guard only caught ImportError)."""
+    import importlib.abc
+    import importlib.machinery
+
+    monkeypatch.delitem(sys.modules, "wandb", raising=False)
+
+    class _BoomLoader(importlib.abc.Loader):
+        def create_module(self, spec):
+            return None
+
+        def exec_module(self, module):
+            raise TypeError("descriptors cannot be created directly")
+
+    class _Finder(importlib.abc.MetaPathFinder):
+        def find_spec(self, name, path, target=None):
+            if name == "wandb":
+                return importlib.machinery.ModuleSpec("wandb", _BoomLoader())
+            return None
+
+    finder = _Finder()
+    sys.meta_path.insert(0, finder)
+    try:
+        with caplog.at_level("WARNING", logger="algonauts2025_tpu.experiment.tracking"):
+            logger = WandbLoggerConfig(project="p").build(save_dir=tmp_path)
+    finally:
+        sys.meta_path.remove(finder)
+        sys.modules.pop("wandb", None)
+    assert any("wandb import failed" in r.message for r in caplog.records)
+    logger.log({"loss": 4.0}, step=2)  # JSONL path still works
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["loss"] == 4.0
+
+
 def test_task_clone_obj(tmp_path):
     import pydantic
 
