@@ -126,7 +126,7 @@ class JaxTextBackbone(TextBackbone):
     #: word-count buckets for the chain pooling matrix (bounded compiles)
     WBUCKETS = (16, 64, 256, 1024)
 
-    def __init__(self, model, params, tokenizer, pad_id: int):
+    def __init__(self, model, params, tokenizer, pad_id: int, pipeline_mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -134,23 +134,50 @@ class JaxTextBackbone(TextBackbone):
         self.params = params
         self.tokenizer = tokenizer
         self.pad_id = pad_id
+        self.pipeline_mesh = pipeline_mesh
         # incremental tokenization state (see _tokenize): per-word id cache
         # kills the O(context^2) host cost of re-tokenizing every growing
         # context from scratch (round-2 VERDICT weak #3)
         self._word_ids: dict[tuple[bool, str], tuple[int, ...]] = {}
         self._inc_checked = 0
         self._inc_enabled = True
+        if pipeline_mesh is None:
+            def forward(params, ids, mask):
+                return self.model.apply({"params": params}, ids, mask)
+        else:
+            # stage-shard the layer stack over pipeline_mesh["stage"]
+            # (parallel/pipeline.py): per-stage weight memory is L/S —
+            # the multi-chip path for backbones too big for one chip.
+            # Identical math per microbatch; bucket-composition bf16
+            # noise only, same as the batched path (ACCURACY.md).
+            from ..parallel.pipeline import pipelined_llama_states
+
+            n_stage = pipeline_mesh.shape["stage"]
+            if model.cfg.num_layers % n_stage:
+                raise ValueError(
+                    f"{model.cfg.num_layers} layers not divisible by "
+                    f"{n_stage} pipeline stages"
+                )
+
+            def forward(params, ids, mask):
+                # largest power-of-2 divisor of B capped at 4: shrinks the
+                # GPipe bubble without splitting below one row
+                b = ids.shape[0]
+                m = 4 if b % 4 == 0 else (2 if b % 2 == 0 else 1)
+                return pipelined_llama_states(
+                    model.cfg, params, ids, mask, pipeline_mesh,
+                    n_microbatches=m,
+                )
+
         # params are jit *arguments* (captured constants would be baked
         # into the executable: GBs of weights, brutal compile times)
-        self._fn = jax.jit(
-            lambda params, ids, mask: self.model.apply({"params": params}, ids, mask)
-        )
+        self._fn = jax.jit(forward)
 
         def pooled(params, ids, mask, spans):
             # word embedding = mean of the last `span` valid positions —
             # pooled ON DEVICE so only (L+1, B, D) crosses the wire instead
             # of the full (L+1, B, T, D) hidden stack
-            states = self.model.apply({"params": params}, ids, mask)
+            states = forward(params, ids, mask)
             n_valid = mask.sum(axis=-1)  # (B,)
             pos = jnp.arange(ids.shape[-1])[None]
             sel = (pos >= (n_valid - spans)[:, None]) & (pos < n_valid[:, None])
@@ -165,7 +192,7 @@ class JaxTextBackbone(TextBackbone):
             # same hidden states (exact vs per-context forwards: positions
             # are shared from 0 and attention is causal, so the state at
             # position t only sees tokens <= t)
-            states = self.model.apply({"params": params}, ids, mask)  # (L+1,1,T,D)
+            states = forward(params, ids, mask)  # (L+1,1,T,D)
             return jnp.einsum("ltd,wt->lwd", states[:, 0], pool.astype(states.dtype))
 
         self._chain_fn = jax.jit(chain_pooled)
@@ -280,7 +307,8 @@ class JaxTextBackbone(TextBackbone):
 class TinyTextBackbone(JaxTextBackbone):
     """Small random-weight Llama for offline/synthetic runs."""
 
-    def __init__(self, hidden_size: int = 64, num_layers: int = 4, vocab: int = 512, seed: int = 0):
+    def __init__(self, hidden_size: int = 64, num_layers: int = 4, vocab: int = 512,
+                 seed: int = 0, pipeline_mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -301,11 +329,20 @@ class TinyTextBackbone(JaxTextBackbone):
         params = jax.jit(
             lambda k: model.init(k, jnp.zeros((1, 8), jnp.int32))["params"]
         )(jax.random.PRNGKey(seed))
-        super().__init__(model, params, HashTokenizer(vocab), pad_id=0)
+        super().__init__(model, params, HashTokenizer(vocab), pad_id=0,
+                         pipeline_mesh=pipeline_mesh)
 
 
-def load_hf_text_backbone(model_name: str) -> JaxTextBackbone:
-    """Build the full-size backbone from a local HF checkpoint."""
+def load_hf_text_backbone(
+    model_name: str, pipeline_stages: int = 0
+) -> JaxTextBackbone:
+    """Build the full-size backbone from a local HF checkpoint.
+
+    ``pipeline_stages`` > 1 stage-shards the layer stack over the first
+    N local devices (parallel/pipeline.py): per-device weight memory is
+    L/N of the stack — how the 3B backbone runs on chips too small to
+    hold it whole.
+    """
     import jax.numpy as jnp
     from transformers import AutoModel, AutoTokenizer
 
@@ -334,7 +371,19 @@ def load_hf_text_backbone(model_name: str) -> JaxTextBackbone:
     pad_id = tokenizer.pad_token_id
     if pad_id is None:  # `or` would discard a legitimate pad id of 0
         pad_id = tokenizer.eos_token_id
-    return JaxTextBackbone(model, params, tokenizer, pad_id)
+    mesh = None
+    if pipeline_stages and pipeline_stages > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) < pipeline_stages:
+            raise ValueError(
+                f"pipeline_stages={pipeline_stages} but only "
+                f"{len(devices)} devices are visible"
+            )
+        mesh = Mesh(np.array(devices[:pipeline_stages]), ("stage",))
+    return JaxTextBackbone(model, params, tokenizer, pad_id, pipeline_mesh=mesh)
 
 
 class LLAMA3p2(LayeredFeatureBase):
@@ -344,6 +393,10 @@ class LLAMA3p2(LayeredFeatureBase):
     model_name: str = "meta-llama/Llama-3.2-3B"
     batch_size: int = 8
     max_context_tokens: int = 1024
+    #: >1 stage-shards the backbone's layer stack over that many local
+    #: devices (pipeline parallelism; see load_hf_text_backbone).  Device
+    #: topology, not semantics: excluded from the cache uid like `device`.
+    pipeline_stages: int = 0
 
     event_type: tp.ClassVar[str] = "Word"
     frequency: tp.ClassVar[float] = 2.0
@@ -351,7 +404,10 @@ class LLAMA3p2(LayeredFeatureBase):
     _backbone: TextBackbone | None = pydantic.PrivateAttr(default=None)
 
     def _exclude_from_cache_uid(self) -> list[str]:
-        return ["device", "layers", "layer_aggregation", "batch_size"]
+        return [
+            "device", "layers", "layer_aggregation", "batch_size",
+            "pipeline_stages",
+        ]
 
     @staticmethod
     def item_uid(event: Event) -> str:
@@ -374,7 +430,9 @@ class LLAMA3p2(LayeredFeatureBase):
                 self._backbone = TinyTextBackbone()
             else:
                 try:
-                    self._backbone = load_hf_text_backbone(self.model_name)
+                    self._backbone = load_hf_text_backbone(
+                        self.model_name, pipeline_stages=self.pipeline_stages
+                    )
                 except Exception as e:
                     # never substitute random weights for a named model (the
                     # cache is keyed by this config's uid — a silent fallback

@@ -219,6 +219,64 @@ class TestPipelinedLlama:
         assert jnp.array_equal(jnp.isnan(out), jnp.isnan(ref))
         assert jnp.array_equal(jnp.nan_to_num(out), jnp.nan_to_num(ref))
 
+    def test_text_backbone_pipeline_option(self):
+        # the product wiring: a JaxTextBackbone with pipeline_mesh runs
+        # every public path (hidden/pooled/chain) through the stage-
+        # sharded stack and matches the single-device backbone
+        from algonauts2025_tpu.features.text import TinyTextBackbone
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("stage",))
+        ref = TinyTextBackbone(num_layers=4, seed=0)
+        pp = TinyTextBackbone(num_layers=4, seed=0, pipeline_mesh=mesh)
+        texts = ["the cat sat", "on the mat today", "a", "longer sentence here ok"]
+        ids, mask = ref.encode(texts)
+        np.testing.assert_allclose(
+            pp.hidden_states(ids, mask), ref.hidden_states(ids, mask),
+            rtol=0, atol=1e-5,
+        )
+        spans = np.array([1, 2, 1, 3])
+        np.testing.assert_allclose(
+            np.asarray(pp.pooled_states(ids, mask, spans)),
+            np.asarray(ref.pooled_states(ids, mask, spans)),
+            rtol=0, atol=1e-5,
+        )
+        chain = ref.chain_tokenize(["a b", "a b c", "a b c d e"])
+        np.testing.assert_allclose(
+            np.asarray(pp.pooled_states_chain_async(chain, [1, 1, 2])),
+            np.asarray(ref.pooled_states_chain_async(chain, [1, 1, 2])),
+            rtol=0, atol=1e-5,
+        )
+
+    def test_llama3p2_feature_pipelined_matches(self, tmp_path):
+        # end-to-end: the LLAMA3p2 feature with an injected pipelined
+        # backbone produces the same arrays as the plain one
+        from algonauts2025_tpu.cache.map_runner import MapInfra
+        from algonauts2025_tpu.core.events import Word
+        from algonauts2025_tpu.features.text import LLAMA3p2, TinyTextBackbone
+
+        words = ["hello", "there", "general", "kenobi", "today"]
+        events = []
+        ctx = ""
+        for i, w in enumerate(words):
+            ctx = (ctx + " " + w).strip()
+            events.append(
+                Word(start=float(i), duration=0.5, timeline="tl", text=w, context=ctx)
+            )
+
+        def run(sub, backbone):
+            ft = LLAMA3p2(
+                model_name="tiny-random",
+                infra=MapInfra(folder=str(tmp_path / sub)),
+            )
+            ft.set_backbone(backbone)
+            return [np.asarray(x) for x in ft._get_data(events)]
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("stage",))
+        plain = run("plain", TinyTextBackbone(num_layers=4, seed=0))
+        piped = run("piped", TinyTextBackbone(num_layers=4, seed=0, pipeline_mesh=mesh))
+        for a, b in zip(plain, piped):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
     def test_left_padded_rows_poisoned(self):
         # the right-pad NaN contract survives the pipelined path
         from algonauts2025_tpu.models.backbones.llama import LlamaConfig
