@@ -183,6 +183,39 @@ class TestPipelineScan:
         assert jnp.array_equal(out, ref)
         assert jnp.array_equal(states, ref_states)
 
+    @pytest.mark.parametrize("n_stage", [2, 4, 8])
+    def test_fuzz_stage_counts(self, n_stage):
+        # random depth/microbatch/width combos per stage count, with a
+        # const riding along; reference = sequential per-microbatch run
+        mesh = Mesh(np.array(jax.devices()[:n_stage]), ("stage",))
+        rng = np.random.default_rng(100 + n_stage)
+        for _ in range(3):
+            l = n_stage * int(rng.integers(1, 4))
+            d = int(rng.integers(2, 7))
+            n_micro = int(rng.choice([1, 2, 4]))
+            b = n_micro * int(rng.integers(1, 4))
+            params = _toy_stack(rng, l, d)
+            x = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+            c = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+
+            def layer(p, h, const):
+                return _toy_layer(p, h) + const[0]
+
+            out, states = pipeline_scan(
+                layer, params, x, mesh, n_microbatches=n_micro,
+                collect=lambda h: h, consts=(c,),
+            )
+            mb = b // n_micro
+            refs = []
+            for i in range(0, b, mb):
+                r = x[i : i + mb]
+                for j in range(l):
+                    r = _toy_layer(jax.tree.map(lambda z: z[j], params), r)
+                    r = r + c[i : i + mb]
+                refs.append(r)
+            assert jnp.array_equal(out, jnp.concatenate(refs))
+            assert states.shape == (l, b, d)
+
     def test_rejects_bad_shapes(self):
         mesh = Mesh(np.array(jax.devices()).reshape(8), ("stage",))
         params = _toy_stack(np.random.default_rng(0), 12, 4)  # 12 % 8 != 0
