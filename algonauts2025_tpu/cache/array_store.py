@@ -25,18 +25,62 @@ import numpy as np
 __all__ = ["ArrayStore"]
 
 
+def _lock_owner_dead(lock: Path) -> bool:
+    """True when the lock names a process on THIS host that no longer runs.
+
+    Lock files carry "host:pid".  Cross-host owners are never declared
+    dead (no liveness signal over NFS); unreadable/empty lock files are
+    treated as live (conservative: a writer may be mid-create)."""
+    try:
+        host, _, pid_s = lock.read_text().strip().partition(":")
+        pid = int(pid_s)
+    except (OSError, ValueError):
+        return False
+    if host != os.uname().nodename:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive, different user
+    return False
+
+
 @contextlib.contextmanager
 def _file_lock(path: Path, timeout: float = 600.0) -> tp.Iterator[None]:
     lock = Path(str(path) + ".lock")
+    owner = f"{os.uname().nodename}:{os.getpid()}"
     start = time.time()
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            try:
+                os.write(fd, owner.encode())
+            finally:
+                os.close(fd)
             break
         except FileExistsError:
+            # a SIGKILLed writer leaves its lock behind forever; steal it
+            # when its pid is provably gone.  The steal is an atomic
+            # rename (only one stealer wins) gated on a content re-check,
+            # so a racing fresh acquire isn't unlinked by mistake.
+            if _lock_owner_dead(lock):
+                stale = Path(f"{lock}.stale-{os.getpid()}")
+                with contextlib.suppress(OSError):
+                    if _lock_owner_dead(lock):  # re-check just before steal
+                        os.rename(lock, stale)
+                        os.unlink(stale)
+                continue
             if time.time() - start > timeout:
-                raise TimeoutError(f"Could not acquire lock {lock}")
+                held_by = "?"
+                with contextlib.suppress(OSError):
+                    held_by = lock.read_text().strip()
+                raise TimeoutError(
+                    f"Could not acquire lock {lock} (held by {held_by}); "
+                    "if that process is gone on another host, delete the "
+                    "lock file manually"
+                )
             time.sleep(0.05)
     try:
         yield
@@ -54,7 +98,7 @@ class ArrayStore:
         self._bin = self.folder / "data.bin"
         self._index_path = self.folder / "index.jsonl"
         self._index: dict[str, tuple[int, tuple[int, ...], str]] = {}
-        self._index_mtime: float = -1.0
+        self._index_mtime: tuple[int, int] | float = -1.0
         self._ram: dict[str, np.ndarray] | None = {} if keep_in_ram else None
         self._mmap: np.memmap | None = None
         self._load_index()
@@ -62,7 +106,10 @@ class ArrayStore:
     def _load_index(self) -> None:
         if not self._index_path.exists():
             return
-        mtime = self._index_path.stat().st_mtime
+        st = self._index_path.stat()
+        # (mtime_ns, size): size grows on every append, so two writes in
+        # one coarse-granularity mtime tick (NFS) can't serve a stale index
+        mtime = (st.st_mtime_ns, st.st_size)
         if mtime == self._index_mtime and self._index:
             return
         index: dict[str, tuple[int, tuple[int, ...], str]] = {}

@@ -174,7 +174,11 @@ class SegmentCreator:
         keys: List[str] = list(per_timeline)
         if isinstance(obj, pd.DataFrame):
             keys = list(obj.timeline.unique())
-        return {key: cls(per_timeline[key]) for key in keys}
+        # a timeline may carry only unregistered event types (which
+        # validate_events tolerates with a warning and extract_events
+        # drops): give it an empty creator like the reference's
+        # defaultdict(list) instead of a KeyError
+        return {key: cls(per_timeline.get(key, [])) for key in keys}
 
     def select(self, start: float, duration: float) -> Segment:
         """All events intersecting [start, start+duration)."""

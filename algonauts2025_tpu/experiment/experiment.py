@@ -306,6 +306,30 @@ class Experiment(pydantic.BaseModel):
                     pv.update(jnp.asarray(yp), jnp.asarray(yt))
             np.save(Path(self.infra.folder) / "pearson.npy", pv.per_voxel())
 
+        # test/* metrics: only computable when the test split carries fmri
+        # targets (synthetic / held-out-with-targets studies).  The
+        # Algonauts challenge test split is submission-only (no fmri), so
+        # it skips with a log line instead of leaving the configured
+        # test/* metrics silently dead (r4 review).
+        if (
+            test_ds is not None
+            and len(test_ds)
+            and any(k.startswith("test/") for k in trainer.metrics)
+        ):
+            probe = next(test_ds.batches(batch_size=1))
+            if "fmri" in probe.data:
+                results.update(
+                    trainer.evaluate(
+                        test_ds.batches(batch_size=batch_size, num_workers=num_workers),
+                        split="test",
+                    )
+                )
+            else:
+                logger.info(
+                    "test split has no fmri targets (submission-only): "
+                    "test/* metrics skipped"
+                )
+
         # metrics.csv (reference main.py:504-506)
         import pandas as pd
 

@@ -149,15 +149,26 @@ class GroupedPearson(Metric):
         groups = groups.reshape(-1).astype(jnp.int32)
         if self._state is None:
             d = preds.shape[-1]
-            z = jnp.zeros((self.n_groups, d))
+            # one extra sentinel slot accumulates out-of-range group ids
+            # (segment_sum would otherwise DROP them silently); checked at
+            # compute() so no per-batch device sync is paid
+            z = jnp.zeros((self.n_groups + 1, d))
             self._state = PearsonState(
-                jnp.zeros((self.n_groups,)), z, z, z, z, z
+                jnp.zeros((self.n_groups + 1,)), z, z, z, z, z
             )
         self._state = _jit_grouped_update(self._state, preds, target, groups, self.n_groups)
 
     def compute(self) -> dict[str, float]:
         if self._state is None:
             raise MetricNeverUpdated("update() must run before compute()")
+        overflow = float(self._state.n[self.n_groups])
+        if overflow:
+            raise ValueError(
+                f"GroupedPearson(n_groups={self.n_groups}) saw {int(overflow)} "
+                "rows with group id outside [0, n_groups) — those subjects "
+                "would silently vanish from the metric; raise n_groups to "
+                "cover every group id"
+            )
         out: dict[str, float] = {}
         r = compute_pearson(
             PearsonState(
@@ -191,7 +202,10 @@ class GroupedPearson(Metric):
 
 
 def _grouped_update(state, preds, target, groups, n_groups):
-    seg = lambda x: jax.ops.segment_sum(x, groups, num_segments=n_groups)
+    # ids outside [0, n_groups) land in the sentinel slot n_groups and
+    # raise at compute(); segment_sum alone would drop them silently
+    groups = jnp.where((groups < 0) | (groups >= n_groups), n_groups, groups)
+    seg = lambda x: jax.ops.segment_sum(x, groups, num_segments=n_groups + 1)
     return PearsonState(
         n=state.n + seg(jnp.ones((preds.shape[0],))),
         sx=state.sx + seg(preds),

@@ -88,15 +88,28 @@ class SchedulerConfig(pydantic.BaseModel):
 
     def build(self, base_lr: float, total_steps: int) -> optax.Schedule:
         kw = dict(self.kwargs)
+
+        def _reject_leftovers() -> None:
+            # torch silently honors scheduler kwargs; dropping one here
+            # silently trains a DIFFERENT LR trajectory (same defect class
+            # as the r2 optimizer-kwarg fix), so unknown keys fail loudly
+            if kw:
+                raise ValueError(
+                    f"Unsupported {self.name} scheduler kwargs: "
+                    f"{sorted(kw)} (supported keys were consumed; check "
+                    "spelling / port the missing behavior explicitly)"
+                )
+
         if self.name == "OneCycleLR":
             # hand-rolled (optax's onecycle NaNs when a phase rounds to zero
             # steps, e.g. smoke runs with 4 total steps and pct_start=0.1)
             import jax.numpy as jnp
 
-            max_lr = kw.get("max_lr", base_lr)
-            pct_start = kw.get("pct_start", 0.3)
-            div_factor = kw.get("div_factor", 25.0)
-            final_div_factor = kw.get("final_div_factor", 1e4)
+            max_lr = kw.pop("max_lr", base_lr)
+            pct_start = kw.pop("pct_start", 0.3)
+            div_factor = kw.pop("div_factor", 25.0)
+            final_div_factor = kw.pop("final_div_factor", 1e4)
+            _reject_leftovers()
             total = max(2, total_steps)
             warmup = min(max(1, round(total * pct_start)), total - 1)
             init = max_lr / div_factor
@@ -112,19 +125,22 @@ class SchedulerConfig(pydantic.BaseModel):
 
             return schedule
         if self.name == "CosineAnnealingLR":
-            t_max = kw.get("T_max", total_steps)
-            eta_min = kw.get("eta_min", 0.0)
+            t_max = kw.pop("T_max", total_steps)
+            eta_min = kw.pop("eta_min", 0.0)
+            _reject_leftovers()
             return optax.cosine_decay_schedule(
                 base_lr, decay_steps=max(1, t_max), alpha=eta_min / base_lr if base_lr else 0.0
             )
         if self.name == "StepLR":
-            step_size = kw["step_size"]
-            gamma = kw.get("gamma", 0.1)
+            step_size = kw.pop("step_size")
+            gamma = kw.pop("gamma", 0.1)
+            _reject_leftovers()
             return lambda step: base_lr * gamma ** (step // step_size)
         if self.name == "LinearLR":
-            start_factor = kw.get("start_factor", 1 / 3)
-            end_factor = kw.get("end_factor", 1.0)
-            total = kw.get("total_iters", 5)
+            start_factor = kw.pop("start_factor", 1 / 3)
+            end_factor = kw.pop("end_factor", 1.0)
+            total = kw.pop("total_iters", 5)
+            _reject_leftovers()
             return optax.linear_schedule(
                 base_lr * start_factor, base_lr * end_factor, total
             )

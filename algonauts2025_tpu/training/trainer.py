@@ -249,9 +249,13 @@ class BrainTrainer:
         self._eval_step = jax.jit(eval_step)
         self._eval_step_with_loss = jax.jit(eval_step_with_loss)
 
-    def _swa_merge(self) -> None:
-        """Host-side running mean of params (exact fp32, zero HBM cost)."""
-        params = jax.device_get(self.state.params)
+    def _swa_merge(self, host_params: tp.Any = None) -> None:
+        """Host-side running mean of params (exact fp32, zero HBM cost).
+
+        ``host_params``: an already-fetched host copy of the params — the
+        epoch checkpoint fetch provides it so the merge doesn't pay a
+        second full-params D2H transfer on the slow tunnel."""
+        params = host_params if host_params is not None else jax.device_get(self.state.params)
         if self._swa_params is None:
             self._swa_params = params
             self._swa_count = 1
@@ -284,6 +288,7 @@ class BrainTrainer:
             best = -np.inf if cfg.monitor_mode == "max" else np.inf
         bad_epochs = self._bad_epochs
         n_epochs = 1 if cfg.fast_dev_run else cfg.n_epochs
+        last_host_state = None  # latest per-epoch host fetch (final SWA save reuses it)
 
         for epoch in range(start_epoch, n_epochs):
             for cb in self.callbacks:
@@ -310,10 +315,9 @@ class BrainTrainer:
                         float(loss),
                     )
             train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
-
-            # SWA epoch-boundary merge
-            if cfg.swa_enabled and epoch >= swa_start_epoch:
-                self._swa_merge()
+            # (the SWA epoch-boundary merge happens below, after the
+            # checkpoint host fetch, so one D2H transfer serves both —
+            # validation does not change params, so the values are the same)
 
             # validation
             val_metrics = self.evaluate(val_loader_fn(), split="val")
@@ -362,13 +366,18 @@ class BrainTrainer:
             improved = monitored is not None and (
                 monitored > best if cfg.monitor_mode == "max" else monitored < best
             )
-            # one host fetch serves both "best" and "last" writes; skip it
-            # entirely when checkpointing is disabled (no folder)
+            # one host fetch serves "best", "last", AND the SWA merge;
+            # skip it entirely when checkpointing is disabled (no folder)
             host_state = None
             if self.state is not None and (
                 self._ckpt_dir("best") is not None or self._ckpt_dir("last") is not None
             ):
                 host_state = jax.device_get(self.state)
+            last_host_state = host_state
+            if cfg.swa_enabled and epoch >= swa_start_epoch:
+                self._swa_merge(
+                    host_params=None if host_state is None else host_state.params
+                )
             if improved:
                 best = monitored
                 bad_epochs = 0
@@ -397,7 +406,16 @@ class BrainTrainer:
             else:
                 swa = jax.device_put(self._swa_params)
             self.state = self.state.replace(params=swa)
-            self.save_checkpoint("last", epoch=n_epochs - 1)
+            # reuse the last epoch's host fetch (opt state/step unchanged
+            # since) with the host-resident SWA params swapped in — a
+            # fresh device_get of the full state here would re-pay the
+            # whole multi-GB D2H transfer for bytes we already hold
+            final_host = (
+                last_host_state.replace(params=self._swa_params)
+                if last_host_state is not None
+                else None
+            )
+            self.save_checkpoint("last", epoch=n_epochs - 1, host_state=final_host)
 
     def _current_lr(self) -> float:
         """Schedule value at the current step, evaluated under ONE jit

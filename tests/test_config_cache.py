@@ -63,6 +63,63 @@ def test_array_store(tmp_path):
     np.testing.assert_array_equal(store2["x"], x)
 
 
+def test_array_store_steals_dead_process_lock(tmp_path):
+    """A SIGKILLed writer's lock (dead pid, this host) must be stolen, not
+    spun on for the full timeout (r4 review: kill+resume deadlocked)."""
+    import os
+    import subprocess
+    import time
+
+    store = ArrayStore(tmp_path / "s")
+    # a pid that existed and is now gone, guaranteed ours to probe
+    proc = subprocess.Popen(["sleep", "0"])
+    proc.wait()
+    lock = tmp_path / "s" / "data.bin.lock"
+    lock.write_text(f"{os.uname().nodename}:{proc.pid}")
+    t0 = time.time()
+    store.append_many([("x", np.ones((2,), np.float32))])
+    assert time.time() - t0 < 30, "stale lock was not stolen"
+    assert "x" in store
+    assert not lock.exists()
+
+
+def test_array_store_live_lock_times_out_with_owner(tmp_path):
+    import os
+
+    from algonauts2025_tpu.cache.array_store import _file_lock
+
+    store = ArrayStore(tmp_path / "s")
+    lock = tmp_path / "s" / "data.bin.lock"
+    # our own (live) pid: must NOT be stolen
+    lock.write_text(f"{os.uname().nodename}:{os.getpid()}")
+    with pytest.raises(TimeoutError, match=str(os.getpid())):
+        with _file_lock(store._bin, timeout=0.3):
+            pass
+    # foreign-host owner: no liveness signal, never stolen
+    lock.write_text(f"not-this-host:{os.getpid()}")
+    with pytest.raises(TimeoutError, match="not-this-host"):
+        with _file_lock(store._bin, timeout=0.3):
+            pass
+    lock.unlink()
+
+
+def test_array_store_index_reload_on_same_mtime_tick(tmp_path):
+    """The index fast path keys on (mtime_ns, size): a second writer's
+    append landing in the same mtime tick must still be picked up."""
+    import os
+
+    store_a = ArrayStore(tmp_path / "s")
+    store_b = ArrayStore(tmp_path / "s")
+    store_a.append_many([("x", np.ones((2,), np.float32))])
+    assert "x" in store_b  # __contains__ reloads
+    # simulate coarse mtime: append then force the same mtime as before
+    st = (tmp_path / "s" / "index.jsonl").stat()
+    store_a.append_many([("y", np.ones((2,), np.float32))])
+    os.utime(tmp_path / "s" / "index.jsonl", ns=(st.st_atime_ns, st.st_mtime_ns))
+    store_b.refresh()
+    assert "y" in store_b.keys()
+
+
 def test_cached_map(tmp_path):
     calls = []
 

@@ -135,3 +135,30 @@ def test_split_min_duration(tmp_path):
     assert len(parts) == 2
     assert parts[1].offset == 4.0
     assert parts[1].duration == pytest.approx(6.0)
+
+
+def test_segment_creator_unregistered_only_timeline():
+    """A timeline whose rows are ALL unregistered event types (tolerated by
+    validate_events with a warning, dropped by extract_events) gets an
+    EMPTY creator — reference defaultdict behavior — not a KeyError
+    (r4 review)."""
+    import warnings
+
+    import pandas as pd
+
+    from algonauts2025_tpu.core.segments import SegmentCreator
+
+    df = pd.DataFrame(
+        [
+            {"type": "Word", "timeline": "tl1", "start": 0.0, "duration": 1.0,
+             "text": "hi", "context": "hi"},
+            {"type": "EyeTrack", "timeline": "tl2", "start": 0.0, "duration": 1.0},
+        ]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        creators = SegmentCreator.from_obj(df)
+    assert sorted(creators) == ["tl1", "tl2"]
+    seg = creators["tl2"].select(0.0, 1.0)
+    assert seg.ns_events == []
+    assert len(creators["tl1"].select(0.0, 1.0).ns_events) == 1

@@ -73,6 +73,10 @@ def test_experiment_end_to_end(tmp_path):
     out = exp.run()
     assert np.isfinite(out["train/loss"])
     assert np.isfinite(out["val/pearson"])
+    # the synthetic test split carries fmri targets, so the configured
+    # test/* metrics must actually be computed (r4 review: they were
+    # constructed but never evaluated)
+    assert np.isfinite(out["test/pearson"])
     folder = tmp_path / "run"
     for artifact in ["config.yaml", "metrics.csv", "pearson.npy",
                      "submission.zip", "last.ckpt"]:

@@ -637,6 +637,43 @@ def test_grouped_pearson_validates_num_outputs():
         m2.update(preds, preds, groups=jnp.zeros((4,), jnp.int32))
 
 
+def test_grouped_pearson_rejects_out_of_range_groups():
+    """segment_sum silently DROPS ids >= n_groups; the sentinel slot must
+    surface them at compute() instead of vanishing subjects (r4 review)."""
+    from algonauts2025_tpu.training.metrics import GroupedPearson
+
+    rng = np.random.default_rng(0)
+    preds = jnp.asarray(rng.standard_normal((6, 4)))
+    target = jnp.asarray(rng.standard_normal((6, 4)))
+    m = GroupedPearson(n_groups=2)
+    m.update(preds, target, groups=jnp.asarray([0, 1, 0, 1, 2, 3]))
+    with pytest.raises(ValueError, match="group id outside"):
+        m.compute()
+    # in-range ids still work and match the ungrouped computation
+    m2 = GroupedPearson(n_groups=2)
+    m2.update(preds, target, groups=jnp.asarray([0, 1, 0, 1, 0, 1]))
+    out = m2.compute()
+    assert set(out) == {"0", "1"}
+
+
+def test_scheduler_rejects_unknown_kwargs():
+    """torch honors scheduler kwargs; silently dropping one here would
+    train a different LR trajectory (r4 review)."""
+    from algonauts2025_tpu.training.optim import SchedulerConfig
+
+    ok = SchedulerConfig(name="OneCycleLR", kwargs={"max_lr": 1e-3, "pct_start": 0.2})
+    assert float(ok.build(1e-3, 100)(0)) > 0
+    for name, kw in [
+        ("OneCycleLR", {"max_lr": 1e-3, "anneal_strategy": "linear"}),
+        ("OneCycleLR", {"divfactor": 10.0}),  # typo of div_factor
+        ("CosineAnnealingLR", {"T_max": 10, "last_epoch": 5}),
+        ("StepLR", {"step_size": 3, "verbose": True}),
+        ("LinearLR", {"total_iters": 2, "warmup": 1}),
+    ]:
+        with pytest.raises(ValueError, match="scheduler kwargs"):
+            SchedulerConfig(name=name, kwargs=kw).build(1e-3, 100)
+
+
 def _mini_trainer(tmp_path, optim=None, depth=1, seed=0):
     model, cfg, fd = _tiny_model(hidden=32, depth=depth)
     batch = _batch(fd, b=4, seed=seed)
