@@ -202,6 +202,11 @@ class SegmentDataset:
         batches = list(
             self.batches(batch_size=max(1, len(self)), num_workers=num_workers)
         )
+        if not batches:
+            raise ValueError(
+                "as_one_batch on an EMPTY dataset (zero segments) — check "
+                "the split/query that produced it"
+            )
         if len(batches) == 1:
             return batches[0]
         data = {

@@ -13,7 +13,9 @@ demuxed with the ffmpeg binary instead of moviepy.
 
 from __future__ import annotations
 
+import contextlib
 import logging
+import os
 from pathlib import Path
 from typing import (
     Any,
@@ -360,7 +362,13 @@ class AssignSentenceSplit(BaseEnhancer):
         word_rows = _word_mask(events)
         words = events.loc[word_rows, :]
         if not len(words):
-            return events  # nothing to split (audio/video-only study)
+            # nothing to split (audio/video-only study) — remove the
+            # synthetic timeline column injected above IN PLACE, or the
+            # caller's frame permanently grows a bogus '#foo#' column
+            # (the injection above mutated it in place too; r4 review)
+            if synthetic_timeline:
+                events.drop(columns=["timeline"], inplace=True)
+            return events
         bad_ratio = sum(_invalid_sentence(words.sentence)) / len(words)
         if bad_ratio > self.max_unmatched_ratio:
             raise RuntimeError(
@@ -510,13 +518,23 @@ def _demux_audio(video_path: Path, wav_path: Path) -> bool:
     ffmpeg = shutil.which("ffmpeg")
     if ffmpeg is None:
         return False
+    # demux to a temp sibling, then atomically rename: an interrupted
+    # ffmpeg must never leave a partial wav at the final path, where every
+    # later run would trust it and cache garbage audio features under the
+    # normal uid (r4 review)
+    tmp_path = wav_path.with_suffix(f".tmp{os.getpid()}.wav")
     argv = [ffmpeg, "-y", "-i", str(video_path), "-vn", "-acodec", "pcm_s16le",
-            str(wav_path)]
+            str(tmp_path)]
     try:
         subprocess.run(argv, check=True, capture_output=True)
     except subprocess.CalledProcessError:
+        with contextlib.suppress(FileNotFoundError):
+            tmp_path.unlink()
         return False
-    return wav_path.exists()
+    if not tmp_path.exists():
+        return False
+    os.replace(tmp_path, wav_path)
+    return True
 
 
 class ExtractAudioFromVideo(BaseEnhancer):

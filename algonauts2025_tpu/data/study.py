@@ -113,7 +113,7 @@ class BaseData(pydantic.BaseModel):
             empty = False
             yield timeline
         if empty:
-            raise RuntimeError(f"No timeline found for {study} in {root}")
+            raise RuntimeError(f"No timeline found for {cls.__name__} in {root}")
 
     def _load_events(self) -> pd.DataFrame:
         raise NotImplementedError

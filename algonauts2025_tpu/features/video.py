@@ -313,44 +313,49 @@ class VJEPA2(LayeredFeatureBase):
         backbone = self.backbone
         for event in events:
             clip = event.read()
-            expect_frames = max(1, Frequency(OUTPUT_HZ).to_ind(event.duration))
-            times = np.linspace(0, clip.duration, expect_frames + 1)[1:]
-            outputs = []
-            window_iter = clip.sliding_windows(
-                times, backbone.n_frames, WINDOW_SECONDS_BACK
-            )
-            has_async = hasattr(backbone, "encode_windows_async")
-            # two batches in flight: batch k computes while k+1's H2D streams
-            # and k-1's D2H drains
-            pending: list[tuple[tp.Any, int]] = []
+            try:
+                expect_frames = max(1, Frequency(OUTPUT_HZ).to_ind(event.duration))
+                times = np.linspace(0, clip.duration, expect_frames + 1)[1:]
+                outputs = []
+                window_iter = clip.sliding_windows(
+                    times, backbone.n_frames, WINDOW_SECONDS_BACK
+                )
+                has_async = hasattr(backbone, "encode_windows_async")
+                # two batches in flight: batch k computes while k+1's H2D
+                # streams and k-1's D2H drains
+                pending: list[tuple[tp.Any, int]] = []
 
-            def flush(keep: int = 0) -> None:
-                while len(pending) > keep:
-                    dev, n = pending.pop(0)
-                    outputs.append(np.asarray(dev)[:n])
+                def flush(keep: int = 0) -> None:
+                    while len(pending) > keep:
+                        dev, n = pending.pop(0)
+                        outputs.append(np.asarray(dev)[:n])
 
-            def submit(stack: np.ndarray, n: int) -> None:
-                if has_async:
-                    dev = backbone.encode_windows_async(stack)
-                    pending.append((dev, n))
-                    flush(keep=2)
-                else:
-                    outputs.append(backbone.encode_windows(stack)[:n])
+                def submit(stack: np.ndarray, n: int) -> None:
+                    if has_async:
+                        dev = backbone.encode_windows_async(stack)
+                        pending.append((dev, n))
+                        flush(keep=2)
+                    else:
+                        outputs.append(backbone.encode_windows(stack)[:n])
 
-            batch: list[np.ndarray] = []
-            for window in window_iter:
-                batch.append(window)
-                if len(batch) == self.window_batch:
-                    submit(np.stack(batch), len(batch))
-                    batch = []
-            if batch:
-                # pad to the jit'd batch width, drop the extras
-                n = len(batch)
-                while len(batch) < self.window_batch:
-                    batch.append(batch[-1])
-                submit(np.stack(batch), n)
-            flush()
-            clip.close()
+                batch: list[np.ndarray] = []
+                for window in window_iter:
+                    batch.append(window)
+                    if len(batch) == self.window_batch:
+                        submit(np.stack(batch), len(batch))
+                        batch = []
+                if batch:
+                    # pad to the jit'd batch width, drop the extras
+                    n = len(batch)
+                    while len(batch) < self.window_batch:
+                        batch.append(batch[-1])
+                    submit(np.stack(batch), n)
+                flush()
+            finally:
+                # a mid-event failure (tunnel drop, OOM) must not leak the
+                # decoder ring buffer / ffmpeg pipe — retrying workers would
+                # accumulate open fds (r4 review)
+                clip.close()
             stacked = np.concatenate(outputs, axis=0)  # (T, L+1, D)
             yield np.transpose(stacked, (1, 2, 0)).astype(np.float32)  # (L+1, D, T)
 

@@ -10,6 +10,7 @@ training, metrics, submission — anywhere in minutes.
 
 from __future__ import annotations
 
+import copy
 import os
 import shutil
 from pathlib import Path
@@ -49,10 +50,16 @@ def _synthesize_if_needed(cfg: ConfDict, tmp_root: str | None) -> None:
     cfg["data.study.path"] = str(make_synthetic_study(root, with_video=True))
     # the defaults declare num_outputs=1000 (the real dataset's parcel
     # count, validated at update time like torchmetrics); the synthetic
-    # study has fewer parcels — let the metrics infer the voxel dim
-    for metric in cfg.get("metrics", []):
+    # study has fewer parcels — let the metrics infer the voxel dim.
+    # COPY before popping: ConfDict holds the metrics list (and its inner
+    # dicts) BY REFERENCE to defaults.default_config, so in-place pops
+    # would strip num_outputs from the module-level defaults for every
+    # later config built in this process (r4 review, repro'd).
+    metrics = copy.deepcopy(cfg.get("metrics", []))
+    for metric in metrics:
         if isinstance(metric, dict):
             metric.get("kwargs", {}).pop("num_outputs", None)
+    cfg["metrics"] = metrics
 
 
 def build_test_config(tmp_root: str | None = None) -> dict:

@@ -23,9 +23,15 @@ logger = logging.getLogger(__name__)
 _HERE = Path(__file__).parent
 _SRC = _HERE / "dataplane.cpp"
 _SO = _HERE / "dataplane.so"
+_HOST_FILE = _HERE / "dataplane.so.host"
 _LOCK = threading.Lock()
 _LIB: tp.Any = None
 _TRIED = False
+
+
+def _host_tag() -> str:
+    u = os.uname()
+    return f"{u.nodename}:{u.machine}"
 
 
 def _build() -> bool:
@@ -45,6 +51,12 @@ def _build() -> bool:
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, _SO)
+        # record which host built it: -march=native binaries must never be
+        # CDLL'd on a different machine (shared/NFS checkouts) — dlopen
+        # can't detect the ISA mismatch and the first call would SIGILL
+        host_tmp = _HOST_FILE.with_suffix(f".host.{os.getpid()}")
+        host_tmp.write_text(_host_tag())
+        os.replace(host_tmp, _HOST_FILE)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         logger.warning("native build failed (%s); using NumPy fallbacks", e)
@@ -63,9 +75,16 @@ def get_lib() -> tp.Any:
         _TRIED = True
         if os.environ.get("ALGONAUTS_TPU_NO_NATIVE"):
             return None
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
-                return None
+        stale = (
+            not _SO.exists()
+            or _SO.stat().st_mtime < _SRC.stat().st_mtime
+            # built by a different machine (shared checkout): rebuild —
+            # the 96-line TU compiles in ~1 s, SIGILL debugging doesn't
+            or not _HOST_FILE.exists()
+            or _HOST_FILE.read_text().strip() != _host_tag()
+        )
+        if stale and not _build():
+            return None
         try:
             lib = ctypes.CDLL(str(_SO))
         except OSError as e:

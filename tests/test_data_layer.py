@@ -487,3 +487,56 @@ def test_prepare_features_releases_owned_backbones(tmp_path):
     ref = [np.asarray(x) for x in fresh._get_data(more)]
     for a, b in zip(vals, ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_build_test_config_does_not_mutate_defaults(tmp_path):
+    """ConfDict shares the metrics list by reference with the module-level
+    defaults; synthesizing a test config must not strip num_outputs from
+    defaults for the rest of the process (r4 review, repro'd)."""
+    from algonauts2025_tpu.grids import defaults
+    from algonauts2025_tpu.grids.test_run import build_test_config
+
+    before = [dict(m.get("kwargs", {})) for m in defaults.default_config["metrics"]]
+    assert any("num_outputs" in kw for kw in before)
+    build_test_config(tmp_root=str(tmp_path / "synth"))
+    after = [dict(m.get("kwargs", {})) for m in defaults.default_config["metrics"]]
+    assert after == before
+
+
+def test_assign_sentence_split_no_words_cleans_synthetic_timeline():
+    """The audio-only early return must drop the injected '#foo#' timeline
+    column (r4 review: it leaked into the caller's frame)."""
+    import pandas as pd
+
+    from algonauts2025_tpu.data.enhancers import AssignSentenceSplit
+
+    df = pd.DataFrame(
+        [{"type": "Sound", "start": 0.0, "duration": 1.0, "filepath": "x.wav"}]
+    )
+    out = AssignSentenceSplit(name="AssignSentenceSplit")(df)
+    assert "timeline" not in out.columns
+    assert "timeline" not in df.columns
+
+
+def test_demux_audio_no_partial_wav_on_failure(tmp_path, monkeypatch):
+    """An interrupted/failed ffmpeg must never leave a partial wav at the
+    final path where later runs would trust it (r4 review)."""
+    import algonauts2025_tpu.data.enhancers as enh
+
+    wav = tmp_path / "movie.wav"
+
+    fake = tmp_path / "ffmpeg"
+    # writes a partial file to its output path (argv[-1]) then fails
+    fake.write_text("#!/bin/sh\necho partial > \"${@: -1}\"\nexit 1\n")
+    fake.chmod(0o755)
+    monkeypatch.setattr("shutil.which", lambda name: str(fake))
+    ok = enh._demux_audio(tmp_path / "movie.mkv", wav)
+    assert not ok
+    assert not wav.exists(), "partial wav left at the final path"
+    assert not list(tmp_path.glob("*.tmp*.wav")), "temp file not cleaned up"
+
+
+def test_as_one_batch_empty_dataset_raises():
+    ds = SegmentDataset(features={}, segments=[])
+    with pytest.raises(ValueError, match="EMPTY dataset"):
+        ds.as_one_batch()
