@@ -136,7 +136,10 @@ class VideoClip:
         """All frames of the clip, starting at the same frame
         ``get_frame(0.0)`` returns (moviepy floor convention — round()
         disagreed by one frame for half of all non-integer-fps offsets)."""
-        n = int(round(self.duration * self.fps))
+        # floor(+1e-5) like every other time->frame mapping in this class;
+        # round() would serve one extra EOF-clamped duplicate frame when
+        # duration*fps lands just below an integer (r4 review)
+        n = int(self.duration * self.fps + 1e-5)
         start = int(self.offset * self.fps + 1e-5)
         for i in range(n):
             yield self._read_abs_frame(start + i)

@@ -86,6 +86,14 @@ def _decode(raw: np.ndarray, fmt: _Format) -> np.ndarray:
     if fmt.audio_format == 3:  # IEEE float
         dtype = np.float32 if fmt.bits == 32 else np.float64
         return raw.view(dtype).astype(np.float32)
+    if fmt.audio_format != 1:
+        # a-law/mu-law (6/7) etc. would decode as garbage through the
+        # linear-PCM branches below — plausible-looking floats that train
+        # corrupted audio features with no error
+        raise ValueError(
+            f"Unsupported WAV format code {fmt.audio_format} "
+            "(only PCM=1 and IEEE float=3); transcode with ffmpeg first"
+        )
     if fmt.bits == 16:
         return raw.view("<i2").astype(np.float32) / 32768.0
     if fmt.bits == 32:

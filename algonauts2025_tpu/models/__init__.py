@@ -1,4 +1,4 @@
-from .common import LayerScale, Mlp, MlpConfig, SubjectLayers
+from .common import LayerScale, Mean, Mlp, MlpConfig, SubjectLayers
 from .fmri_encoder import FmriEncoder, FmriEncoderConfig
 from .fmri_mlp import FmriMlp, FmriMlpConfig
 from .transformer import TransformerEncoder, TransformerEncoderConfig

@@ -39,8 +39,11 @@ class VJEPA2Config:
     mlp_ratio: float = 48 / 11
     layer_norm_eps: float = 1e-6
     dtype: tp.Any = jnp.bfloat16
-    #: w8a8 int8 matmuls for qkv/proj/mlp (2x MXU rate on v5e); opt-in —
-    #: quantized features live in their own cache universe (ops/quant.py)
+    #: w8a8 int8 matmuls for qkv/proj/mlp (ops/quant.py fused kernels).
+    #: This backbone-config default is False, but the VJEPA2 *feature*
+    #: passes quantize=True since r4 (features/video.py — the production
+    #: default, r=0.99987 vs exact bf16); quantized features live in
+    #: their own cache universe either way
     quantize: bool = False
     #: with quantize: use calibrated static activation scales instead of
     #: dynamic per-row maxima (requires calibrate_quant_scales first)

@@ -71,6 +71,18 @@ class SubjectLayers(nn.Module):
         return out.astype(x.dtype)
 
 
+class Mean(nn.Module):
+    """Axis-mean as a module (reference common.py:144-151; fmri_mlp time
+    aggregation plugs it into sequential stacks)."""
+
+    axis: int
+    keepdims: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return x.mean(axis=self.axis, keepdims=self.keepdims)
+
+
 class LayerScale(nn.Module):
     """Learned per-channel residual scale with boosted init."""
 

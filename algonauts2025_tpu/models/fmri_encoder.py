@@ -290,7 +290,13 @@ class FmriEncoder(nn.Module):
                     adaptive_avg_pool_matrix(mod.shape[1], brain.shape[1])
                 )
                 mod = jnp.einsum("btd,ts->bsd", mod, mat)
-            losses[modality] = _info_nce(brain, mod, cfg.contrastive_temperature)
+            # fp32 cast matches forward_with_contrastive (line ~268): the
+            # two InfoNCE paths must agree bit-for-bit under bf16 configs
+            losses[modality] = _info_nce(
+                brain.astype(jnp.float32),
+                mod.astype(jnp.float32),
+                cfg.contrastive_temperature,
+            )
         return losses
 
 

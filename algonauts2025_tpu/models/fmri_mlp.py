@@ -62,12 +62,21 @@ class _ActNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # BatchNorm-free design: only "ln" is supported (stateless under
+        # jit; batch statistics are hostile to SPMD training).  The
+        # reference's norm_type="bn" (BatchNorm1d+relu, fmri_mlp.py:84-87)
+        # must fail loudly rather than silently train LayerNorm instead —
+        # same convention as models/common.py Mlp.
+        if self.norm_type != "ln":
+            raise NotImplementedError(
+                f"norm_type={self.norm_type!r}: only 'ln' is supported "
+                "(BatchNorm is stateful and SPMD-hostile; the reference's "
+                "'bn' variant is deliberately not replicated)"
+            )
         # erf-form gelu: torch nn.GELU default (reference fmri_mlp.py:87);
         # the flax default approximate=True diverges ~1e-3 per layer.  The
         # rational gelu_fast is exact to 1.3e-6 at ~half the VPU ops
-        act = nn.relu if self.norm_type == "bn" else gelu_fast
-        # BatchNorm-free design: LayerNorm everywhere (stateless under jit;
-        # batch statistics are hostile to SPMD training anyway)
+        act = gelu_fast
         if self.act_first:
             return nn.LayerNorm()(act(x))
         return act(nn.LayerNorm()(x))

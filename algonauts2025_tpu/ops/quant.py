@@ -1,13 +1,15 @@
 """int8 matmul path for frozen-backbone inference (v5e native int8 MXU).
 
 w8a8 symmetric quantization: weights per-output-channel, activations
-per-row (dynamic).  The int8 MXU nominally runs at 2x the bf16 rate on
-v5e, and an isolated matmul measures 1.26x — but IN-GRAPH at ViT-G shapes
-the dynamic activation quantization (per-row max/round/cast: ~4 extra
-memory-bound passes) offsets the MXU gain entirely: 378 ms/window vs 371
-exact (measured r2).  The subsystem stays as the substrate for
-weight-only or fused-quant variants; the `quantize` flag on the video
-feature is OFF by default and part of the cache identity.
+per-row (dynamic) or calibrated static scalars.  History: dynamic
+activation quantization measured NEUTRAL in-graph at ViT-G shapes (the
+per-row max/round/cast passes ate the MXU gain, r2); static calibrated
+scales + the fused Pallas kernels below (whole-MLP fusion, in-register
+quantization, r3) made it a real win (video stage 8.68 -> 7.94 s per 24
+windows).  Since r4 the `quantize` flag on the VJEPA2 feature is ON by
+default (feature agreement r = 0.99987 vs exact bf16, ACCURACY.md) and
+remains part of the cache identity — quantized features are their own
+cache universe, `quantize=False` opts back into exact bf16.
 """
 
 from __future__ import annotations
@@ -359,7 +361,12 @@ class QuantDense:
 
     @staticmethod
     def apply(params: dict, x: jax.Array, out_dtype=jnp.bfloat16) -> jax.Array:
-        y = int8_matmul(x, params["kernel_q"], params["scale"])
+        # honor a calibrated static activation scale when the param tree
+        # carries one (calibrate_quant_scales) — the dynamic per-row path
+        # is measured to erase most of the int8 gain
+        y = int8_matmul(
+            x, params["kernel_q"], params["scale"], x_scale=params.get("a_scale")
+        )
         if "bias" in params:
             y = y + params["bias"].astype(jnp.float32)
         return y.astype(out_dtype)

@@ -747,3 +747,52 @@ def test_resume_beats_explicit_checkpoint_path(tmp_path):
     (own / "last.ckpt").mkdir()
     path, warm = Experiment._get_checkpoint_path(exp)
     assert path == own / "last.ckpt" and not warm  # own progress wins
+
+
+def test_contrastive_losses_method_matches_forward_path():
+    """contrastive_losses and forward_with_contrastive must agree on the
+    loss values — including under bf16, where the standalone method was
+    missing the fp32 cast (r4 review)."""
+    for bf16 in (False, True):
+        model, cfg, fd = _tiny_model(
+            contrastive_enabled=True, contrastive_modalities=["audio"], bf16=bf16
+        )
+        batch = _batch(fd)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, training=False,
+            method="forward_with_contrastive",
+        )
+        _, fwd_losses = model.apply(
+            variables, batch, training=False, method="forward_with_contrastive"
+        )
+        losses = model.apply(
+            variables, batch, training=False, method="contrastive_losses"
+        )
+        assert set(losses) == set(fwd_losses)
+        for k in losses:
+            np.testing.assert_allclose(
+                float(losses[k]), float(fwd_losses[k]), rtol=1e-6,
+                err_msg=f"bf16={bf16} modality={k}",
+            )
+
+
+def test_fmri_mlp_rejects_unsupported_norm():
+    """norm_type='bn' must fail loudly, not silently train LayerNorm+relu
+    (r4 review; same convention as models/common.py Mlp)."""
+    from algonauts2025_tpu.models import FmriMlpConfig
+
+    cfg = FmriMlpConfig(hidden=16, n_blocks=1, norm_type="bn")
+    model = cfg.build(n_in_channels=8, n_outputs=4)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 1)), jnp.float32)
+    with pytest.raises(NotImplementedError, match="norm_type"):
+        model.init(jax.random.PRNGKey(0), x)
+
+
+def test_mean_module():
+    from algonauts2025_tpu.models import Mean
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 4)))
+    out = Mean(axis=2).apply({}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x).mean(axis=2), atol=1e-7)
+    out2 = Mean(axis=1, keepdims=True).apply({}, x)
+    assert out2.shape == (2, 1, 4)

@@ -238,3 +238,31 @@ def test_uncalibrated_static_scale_poisons_with_nan(rng):
     # dynamic path (x_scale=None) is unaffected
     out = np.asarray(int8_matmul(x, w_q, w_scale))
     assert np.isfinite(out).all()
+
+
+def test_quant_dense_honors_static_a_scale(rng):
+    """QuantDense.apply must route a calibrated a_scale into int8_matmul —
+    silently falling back to dynamic per-row scales erases the int8 gain
+    and skips the NaN-poison calibration guard (r4 review)."""
+    from algonauts2025_tpu.ops.quant import (
+        QuantDense,
+        int8_matmul,
+        quantize_dense_params,
+    )
+
+    w = rng.standard_normal((16, 8)).astype(np.float32)
+    b = rng.standard_normal((8,)).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    qp = quantize_dense_params({"kernel": w, "bias": b})
+    a_scale = jnp.asarray(float(np.abs(np.asarray(x)).max() / 127.0))
+    got = QuantDense.apply({**qp, "a_scale": a_scale}, x, out_dtype=jnp.float32)
+    want = int8_matmul(x, qp["kernel_q"], qp["scale"], x_scale=a_scale) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    # an UNCALIBRATED tree (quantize_dense_params seeds a_scale=NaN) must
+    # poison the output — that's the guard the old dynamic fallback skipped
+    poisoned = QuantDense.apply(qp, x, out_dtype=jnp.float32)
+    assert np.isnan(np.asarray(poisoned)).all()
+    # a tree genuinely without a_scale uses the dynamic per-row path
+    dyn_params = {k: v for k, v in qp.items() if k != "a_scale"}
+    dyn = QuantDense.apply(dyn_params, x, out_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(dyn)).all()

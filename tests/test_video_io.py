@@ -194,3 +194,43 @@ def test_center_crop_bankers_rounding_offsets():
         # int(round((W - 256) / 2.0)) (torchvision is not installed here;
         # the formula is pinned in ops/video_prep.py's docstring)
         assert abs(v - want_left) < 0.35, (width, v, want_left)
+
+
+def test_wav_rejects_non_pcm_formats(tmp_path):
+    """a-law/mu-law WAVs (format codes 6/7) must be rejected loudly — the
+    8-bit linear-PCM branch would decode companded bytes as garbage audio
+    that trains corrupted features with no error (r4 review)."""
+    import struct
+
+    from algonauts2025_tpu.io import wav as wavio
+
+    path = tmp_path / "alaw.wav"
+    n = 64
+    data = bytes(range(64))
+    fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)  # a-law, 8-bit
+    payload = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", n) + data
+    )
+    path.write_bytes(b"RIFF" + struct.pack("<I", len(payload)) + payload)
+    with pytest.raises(ValueError, match="format code 6"):
+        wavio.read(str(path))
+
+
+def test_iter_frames_floor_convention(clip_path):
+    """iter_frames must use the same floor(+1e-5) time->frame mapping as
+    get_frame — round() served an extra EOF-clamped duplicate when
+    duration*fps landed just under an integer (r4 review)."""
+    from algonauts2025_tpu.io.video import VideoClip
+
+    clip = VideoClip(str(clip_path))
+    try:
+        frames = list(clip.iter_frames())
+        assert len(frames) == int(clip.duration * clip.fps + 1e-5)
+        assert _level(frames[0]) == _level(clip.get_frame(0.0))
+        # duration just below an integer frame count: floor, not round
+        clip.duration = (len(frames) - 0.4) / clip.fps
+        assert len(list(clip.iter_frames())) == len(frames) - 1
+    finally:
+        clip.close()
