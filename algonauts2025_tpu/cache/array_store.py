@@ -25,68 +25,52 @@ import numpy as np
 __all__ = ["ArrayStore"]
 
 
-def _lock_owner_dead(lock: Path) -> bool:
-    """True when the lock names a process on THIS host that no longer runs.
-
-    Lock files carry "host:pid".  Cross-host owners are never declared
-    dead (no liveness signal over NFS); unreadable/empty lock files are
-    treated as live (conservative: a writer may be mid-create)."""
-    try:
-        host, _, pid_s = lock.read_text().strip().partition(":")
-        pid = int(pid_s)
-    except (OSError, ValueError):
-        return False
-    if host != os.uname().nodename:
-        return False
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return True
-    except PermissionError:
-        return False  # alive, different user
-    return False
-
-
 @contextlib.contextmanager
 def _file_lock(path: Path, timeout: float = 600.0) -> tp.Iterator[None]:
+    """Exclusive advisory lock on ``<path>.lock`` via fcntl.flock.
+
+    flock is released by the KERNEL when the holder dies (any signal,
+    incl. SIGKILL), so a killed writer can never deadlock kill+resume —
+    no stale-lock detection or pid-based stealing needed (an earlier
+    O_EXCL+steal design had an unclosable TOCTOU between liveness check
+    and steal; flock has neither problem).  The lock file persists after
+    release — unlinking it would race a third process onto a fresh inode
+    while a second still holds the old one (two "exclusive" holders).
+    The holder's host:pid is written into the file purely for the
+    timeout diagnostic.
+    """
+    import fcntl
+
     lock = Path(str(path) + ".lock")
-    owner = f"{os.uname().nodename}:{os.getpid()}"
     start = time.time()
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            try:
-                os.write(fd, owner.encode())
-            finally:
-                os.close(fd)
-            break
-        except FileExistsError:
-            # a SIGKILLed writer leaves its lock behind forever; steal it
-            # when its pid is provably gone.  The steal is an atomic
-            # rename (only one stealer wins) gated on a content re-check,
-            # so a racing fresh acquire isn't unlinked by mistake.
-            if _lock_owner_dead(lock):
-                stale = Path(f"{lock}.stale-{os.getpid()}")
-                with contextlib.suppress(OSError):
-                    if _lock_owner_dead(lock):  # re-check just before steal
-                        os.rename(lock, stale)
-                        os.unlink(stale)
-                continue
-            if time.time() - start > timeout:
-                held_by = "?"
-                with contextlib.suppress(OSError):
-                    held_by = lock.read_text().strip()
-                raise TimeoutError(
-                    f"Could not acquire lock {lock} (held by {held_by}); "
-                    "if that process is gone on another host, delete the "
-                    "lock file manually"
-                )
-            time.sleep(0.05)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
-        yield
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.time() - start > timeout:
+                    held_by = "?"
+                    with contextlib.suppress(OSError):
+                        held_by = lock.read_text().strip() or "?"
+                    raise TimeoutError(
+                        f"Could not acquire lock {lock} "
+                        f"(held by live process {held_by})"
+                    )
+                time.sleep(0.05)
+        # diagnostics only — correctness lives in the flock
+        with contextlib.suppress(OSError):
+            os.ftruncate(fd, 0)
+            os.write(fd, f"{os.uname().nodename}:{os.getpid()}".encode())
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.ftruncate(fd, 0)
+            fcntl.flock(fd, fcntl.LOCK_UN)
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(lock)
+        os.close(fd)
 
 
 class ArrayStore:

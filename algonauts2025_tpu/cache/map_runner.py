@@ -66,6 +66,7 @@ class CachedMap:
         self._store: ArrayStore | None = None
         self._cleared = False
         self._ram_only: dict[str, np.ndarray] = {}
+        self._warned_processpool = False
 
     @property
     def store(self) -> ArrayStore | None:
@@ -154,18 +155,20 @@ class CachedMap:
         "processpool" the items are chunked over host threads (IO-bound
         readers — device-bound fns serialize on the stream anyway)."""
         workers = self.infra.max_jobs or 4
-        if self.infra.cluster == "processpool":
-            # fns here close over unpicklable device state (jit'd backbones),
-            # so real ProcessPoolExecutor isolation is impossible in-process;
-            # true process isolation is cluster="external" (job arrays).
-            # Run as threads, but say so — a silent substitution would let a
-            # GIL-bound fn "parallelize" into nothing with no signal.
-            logger.warning(
-                "cluster='processpool' runs as a THREAD pool in-process "
-                "(device-backed fns are unpicklable); use cluster='external' "
-                "for real process isolation"
-            )
         if self.infra.cluster in ("threadpool", "processpool") and len(to_compute) > 1:
+            if self.infra.cluster == "processpool" and not self._warned_processpool:
+                # fns here close over unpicklable device state (jit'd
+                # backbones), so real ProcessPoolExecutor isolation is
+                # impossible in-process; true process isolation is
+                # cluster="external" (job arrays).  Run as threads, but say
+                # so ONCE — a silent substitution would let a GIL-bound fn
+                # "parallelize" into nothing with no signal.
+                self._warned_processpool = True
+                logger.warning(
+                    "cluster='processpool' runs as a THREAD pool in-process "
+                    "(device-backed fns are unpicklable); use "
+                    "cluster='external' for real process isolation"
+                )
             import concurrent.futures
 
             n = min(workers, len(to_compute))

@@ -397,7 +397,9 @@ class AssignSentenceSplit(BaseEnhancer):
             ]
             events.loc[~has_sentence & word_rows, "split"] = "undefined"
         if synthetic_timeline and tuple(events.timeline.unique()) == ("#foo#",):
-            events = events.drop("timeline", axis=1)
+            # in place, matching the in-place injection above: the
+            # CALLER's frame must not keep the synthetic column either
+            events.drop(columns=["timeline"], inplace=True)
         return events
 
 

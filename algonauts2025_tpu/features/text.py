@@ -150,6 +150,8 @@ class JaxTextBackbone(TextBackbone):
             # the multi-chip path for backbones too big for one chip.
             # Identical math per microbatch; bucket-composition bf16
             # noise only, same as the batched path (ACCURACY.md).
+            from jax.sharding import NamedSharding, PartitionSpec
+
             from ..parallel.pipeline import pipelined_llama_states
 
             n_stage = pipeline_mesh.shape["stage"]
@@ -158,6 +160,22 @@ class JaxTextBackbone(TextBackbone):
                     f"{model.cfg.num_layers} layers not divisible by "
                     f"{n_stage} pipeline stages"
                 )
+            # commit the weights to their pipeline layout ONCE: layer
+            # stacks sharded over the stage axis (each device holds L/S
+            # layers — host numpy shards straight to the owning devices),
+            # everything else replicated.  Without this the full tree
+            # lives on device 0 and every jit call pays a full-weights
+            # reshard collective (r4 review).
+            def put(subtree, spec):
+                sh = NamedSharding(pipeline_mesh, spec)
+                return jax.tree.map(lambda x: jax.device_put(x, sh), subtree)
+
+            params = dict(params)
+            params["layers"] = put(params["layers"], PartitionSpec("stage"))
+            for key in list(params):
+                if key != "layers":
+                    params[key] = put(params[key], PartitionSpec())
+            self.params = params
 
             def forward(params, ids, mask):
                 # largest power-of-2 divisor of B capped at 4: shrinks the
@@ -366,7 +384,12 @@ def load_hf_text_backbone(
         rope_theta=hf_cfg.rope_theta,
         dtype=jnp.bfloat16,
     )
-    params = params_from_hf(hf_model.state_dict(), cfg)
+    pipelined = bool(pipeline_stages and pipeline_stages > 1)
+    # pipelined: keep the converted tree on HOST so JaxTextBackbone's
+    # sharded device_put sends each stage its own L/S slice directly —
+    # a device conversion would materialize the full 3B stack on device
+    # 0 first, the very OOM pipeline staging exists to avoid
+    params = params_from_hf(hf_model.state_dict(), cfg, on_host=pipelined)
     model = LlamaBackbone(cfg)
     pad_id = tokenizer.pad_token_id
     if pad_id is None:  # `or` would discard a legitimate pad id of 0

@@ -258,11 +258,20 @@ class LlamaAttention(nn.Module):
         return dense(cfg.hidden_size, "o_proj")(out)
 
 
-def params_from_hf(state_dict: tp.Mapping[str, tp.Any], cfg: LlamaConfig) -> dict:
+def params_from_hf(
+    state_dict: tp.Mapping[str, tp.Any],
+    cfg: LlamaConfig,
+    *,
+    on_host: bool = False,
+) -> dict:
     """Convert an HF LlamaModel state dict to this module's param pytree.
 
     Per-layer weights are stacked along a leading (num_layers,) axis to
-    match the scanned layer stack.
+    match the scanned layer stack.  ``on_host=True`` keeps the tree as
+    NumPy (ml_dtypes bf16) instead of device arrays — required when the
+    tree is about to be device_put with a SHARDING (pipeline stages): a
+    device conversion would materialize the full stack on device 0
+    first, which is exactly the OOM the sharding exists to avoid.
     """
 
     def arr(name, transpose=False, dtype=None):
@@ -270,12 +279,17 @@ def params_from_hf(state_dict: tp.Mapping[str, tp.Any], cfg: LlamaConfig) -> dic
         w = np.asarray(w.to(dtype=_torch_f32()) if hasattr(w, "to") else w, dtype=np.float32)
         if transpose:
             w = w.T
-        return jnp.asarray(w, dtype=dtype or cfg.dtype)
+        target = dtype or cfg.dtype
+        if on_host:
+            return np.asarray(w).astype(np.dtype(target))
+        return jnp.asarray(w, dtype=target)
 
     def stacked(fmt, transpose=False, dtype=None):
-        return jnp.stack(
-            [arr(fmt.format(i=i), transpose=transpose, dtype=dtype) for i in range(cfg.num_layers)]
-        )
+        parts = [
+            arr(fmt.format(i=i), transpose=transpose, dtype=dtype)
+            for i in range(cfg.num_layers)
+        ]
+        return np.stack(parts) if on_host else jnp.stack(parts)
 
     layers: dict[str, tp.Any] = {
         "input_norm": {

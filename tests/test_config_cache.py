@@ -63,44 +63,72 @@ def test_array_store(tmp_path):
     np.testing.assert_array_equal(store2["x"], x)
 
 
-def test_array_store_steals_dead_process_lock(tmp_path):
-    """A SIGKILLed writer's lock (dead pid, this host) must be stolen, not
-    spun on for the full timeout (r4 review: kill+resume deadlocked)."""
+def test_array_store_dead_writer_cannot_deadlock(tmp_path):
+    """A SIGKILLed writer must never deadlock later writers (r4 review:
+    the old O_EXCL lock file persisted forever).  flock is kernel-released
+    on process death, so a killed holder's lock frees immediately."""
     import os
+    import signal
     import subprocess
+    import sys
     import time
 
     store = ArrayStore(tmp_path / "s")
-    # a pid that existed and is now gone, guaranteed ours to probe
-    proc = subprocess.Popen(["sleep", "0"])
-    proc.wait()
     lock = tmp_path / "s" / "data.bin.lock"
-    lock.write_text(f"{os.uname().nodename}:{proc.pid}")
+    # a real process takes the flock, then is SIGKILLed mid-hold
+    holder = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({str(lock)!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "print('locked', flush=True)\n"
+            "time.sleep(60)\n"
+        )],
+        stdout=subprocess.PIPE,
+    )
+    assert holder.stdout.readline().strip() == b"locked"
+    holder.send_signal(signal.SIGKILL)
+    holder.wait()
     t0 = time.time()
     store.append_many([("x", np.ones((2,), np.float32))])
-    assert time.time() - t0 < 30, "stale lock was not stolen"
+    assert time.time() - t0 < 30, "dead writer's lock was not released"
     assert "x" in store
-    assert not lock.exists()
 
 
 def test_array_store_live_lock_times_out_with_owner(tmp_path):
+    """A LIVE holder blocks acquisition until timeout; the error names the
+    holder recorded in the lock file."""
     import os
+    import signal
+    import subprocess
+    import sys
 
     from algonauts2025_tpu.cache.array_store import _file_lock
 
     store = ArrayStore(tmp_path / "s")
     lock = tmp_path / "s" / "data.bin.lock"
-    # our own (live) pid: must NOT be stolen
-    lock.write_text(f"{os.uname().nodename}:{os.getpid()}")
-    with pytest.raises(TimeoutError, match=str(os.getpid())):
-        with _file_lock(store._bin, timeout=0.3):
-            pass
-    # foreign-host owner: no liveness signal, never stolen
-    lock.write_text(f"not-this-host:{os.getpid()}")
-    with pytest.raises(TimeoutError, match="not-this-host"):
-        with _file_lock(store._bin, timeout=0.3):
-            pass
-    lock.unlink()
+    holder = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({str(lock)!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "os.ftruncate(fd, 0); os.write(fd, b'otherhost:12345')\n"
+            "print('locked', flush=True)\n"
+            "time.sleep(60)\n"
+        )],
+        stdout=subprocess.PIPE,
+    )
+    try:
+        assert holder.stdout.readline().strip() == b"locked"
+        with pytest.raises(TimeoutError, match="otherhost:12345"):
+            with _file_lock(store._bin, timeout=0.3):
+                pass
+    finally:
+        holder.send_signal(signal.SIGKILL)
+        holder.wait()
+    # released after death: acquisition now succeeds immediately
+    with _file_lock(store._bin, timeout=5):
+        pass
 
 
 def test_array_store_index_reload_on_same_mtime_tick(tmp_path):

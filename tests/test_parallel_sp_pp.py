@@ -261,6 +261,13 @@ class TestPipelinedLlama:
         mesh = Mesh(np.array(jax.devices()[:4]), ("stage",))
         ref = TinyTextBackbone(num_layers=4, seed=0)
         pp = TinyTextBackbone(num_layers=4, seed=0, pipeline_mesh=mesh)
+        # weights are COMMITTED to the pipeline layout at construction:
+        # layer stacks sharded over the stage axis, the rest replicated
+        # (otherwise every jit call pays a full-weights reshard)
+        for leaf in jax.tree.leaves(pp.params["layers"]):
+            assert leaf.sharding.spec == jax.sharding.PartitionSpec("stage"), leaf.sharding
+        emb = pp.params["embed_tokens"]["embedding"]
+        assert emb.sharding.is_fully_replicated
         texts = ["the cat sat", "on the mat today", "a", "longer sentence here ok"]
         ids, mask = ref.encode(texts)
         np.testing.assert_allclose(
