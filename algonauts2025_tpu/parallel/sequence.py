@@ -23,9 +23,11 @@ Design notes
   (8192/n x 8192/n) that the MXU stays busy without a Pallas kernel.
   Swapping the inner block for a stats-returning flash kernel is a
   drop-in optimization — the merge algebra here does not change.
-- Full (non-causal) attention only: that is the video/trunk inference
-  contract.  The combine is order-independent up to fp reassociation,
-  so the result matches single-device attention to fp32 roundoff.
+- Full (non-causal) attention is the video/trunk inference contract;
+  ``causal=True`` adds the decoder mask (each step knows its KV shard's
+  origin device, hence its global key offset).  The combine is
+  order-independent up to fp reassociation, so the result matches
+  single-device attention to fp32 roundoff.
 """
 
 from __future__ import annotations
@@ -41,27 +43,44 @@ __all__ = ["ring_attention_local", "sequence_parallel_attention"]
 
 
 def ring_attention_local(
-    q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str
+    q: jax.Array, k: jax.Array, v: jax.Array, axis_name: str,
+    causal: bool = False,
 ) -> jax.Array:
-    """Exact full attention where K/V are sharded over ``axis_name``.
+    """Exact attention where Q and K/V are sharded over ``axis_name``.
 
     Call inside ``shard_map``.  ``q``: (B, H, Tq_local, D) — this
     device's query shard; ``k``/``v``: (B, H, Tkv_local, D) — this
     device's KV shard.  Returns (B, H, Tq_local, D): the attention of
     the local queries over the GLOBAL key/value sequence.
+
+    ``causal=True`` masks global key position > global query position
+    (the decoder contract): each step knows which device its current KV
+    shard ORIGINATED from (rank - step mod n), which fixes the shard's
+    global key offset.  Masked scores take -1e30, exactly like the
+    single-device paths (ops/attention.py) — the flash-stats merge
+    wipes any fully-masked step's contribution via the zero correction
+    factor, so no NaN can survive (every causal row sees at least its
+    own diagonal when its own shard arrives).
     """
     n = lax.psum(1, axis_name)
+    rank = lax.axis_index(axis_name)
     d = q.shape[-1]
+    tq, tkv = q.shape[2], k.shape[2]
     scale = d**-0.5
     qf = q.astype(jnp.float32) * scale
     # ring: every device forwards its current KV shard to the next
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def step(_, carry):
+    def step(i, carry):
         o, m, l, k_c, v_c = carry
         s = jnp.einsum(
             "bhqd,bhkd->bhqk", qf, k_c.astype(jnp.float32)
         )  # (B, H, Tq, Tkv_local)
+        if causal:
+            src = (rank - i) % n  # device this KV shard originated from
+            q_pos = rank * tq + lax.broadcasted_iota(jnp.int32, (tq, tkv), 0)
+            k_pos = src * tkv + lax.broadcasted_iota(jnp.int32, (tq, tkv), 1)
+            s = jnp.where((q_pos >= k_pos)[None, None], s, -1e30)
         m_new = jnp.maximum(m, s.max(axis=-1))
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
@@ -94,13 +113,15 @@ def sequence_parallel_attention(
     v: jax.Array,
     mesh: Mesh,
     axis_name: str = "data",
+    causal: bool = False,
 ) -> jax.Array:
-    """(B, H, T, D) full attention with T sharded over ``mesh[axis_name]``.
+    """(B, H, T, D) attention with T sharded over ``mesh[axis_name]``.
 
     The global arrays are resharded so the sequence axis spans the mesh
     axis; each device runs :func:`ring_attention_local`.  The mesh axis
-    size must divide T.  Exactness vs the single-device path is pinned
-    by ``tests/test_parallel_sp_pp.py``.
+    size must divide T.  ``causal=True`` gives the decoder mask.
+    Exactness vs the single-device path is pinned by
+    ``tests/test_parallel_sp_pp.py``.
     """
     n = mesh.shape[axis_name]
     t = q.shape[2]
@@ -111,7 +132,7 @@ def sequence_parallel_attention(
         )
     spec = P(None, None, axis_name, None)
     fn = jax.shard_map(
-        functools.partial(ring_attention_local, axis_name=axis_name),
+        functools.partial(ring_attention_local, axis_name=axis_name, causal=causal),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

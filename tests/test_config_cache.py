@@ -433,3 +433,33 @@ def test_uid_default_check_respects_nested_exclusions():
 
     assert config_uid(Outer()) == config_uid(Outer(inner=Inner(device="tpu")))
     assert config_uid(Outer()) != config_uid(Outer(inner=Inner(depth=3)))
+
+
+def test_array_store_concurrent_process_writers(tmp_path):
+    """Two real processes appending concurrently must serialize on the
+    flock: all keys land, every payload reads back intact."""
+    import subprocess
+    import sys
+
+    script = (
+        "import sys\n"
+        "import numpy as np\n"
+        "from algonauts2025_tpu.cache import ArrayStore\n"
+        "folder, tag = sys.argv[1], sys.argv[2]\n"
+        "store = ArrayStore(folder)\n"
+        "items = [(f'{tag}-{i}', np.full((i + 1,), float(i))) for i in range(20)]\n"
+        "for it in items:\n"
+        "    store.append_many([it])\n"
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(tmp_path / "s"), tag])
+        for tag in ("a", "b")
+    ]
+    for p in procs:
+        assert p.wait() == 0
+    store = ArrayStore(tmp_path / "s")
+    for tag in ("a", "b"):
+        for i in range(20):
+            np.testing.assert_array_equal(
+                store[f"{tag}-{i}"], np.full((i + 1,), float(i))
+            )

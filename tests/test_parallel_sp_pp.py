@@ -66,6 +66,38 @@ class TestRingAttention:
             np.asarray(out), np.asarray(_ref_attention(q, k, v)), atol=1e-5
         )
 
+    def test_causal_matches_single_device(self):
+        mesh = get_mesh(8, model_parallel=1)
+        rng = np.random.default_rng(4)
+        b, h, t, d = 2, 3, 64, 16
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+            for _ in range(3)
+        )
+        out = sequence_parallel_attention(q, k, v, mesh, "data", causal=True)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d**-0.5)
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        ref = jax.nn.softmax(jnp.where(mask, s, -1e30), axis=-1) @ v
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+        # row 0 attends only to itself
+        np.testing.assert_allclose(
+            np.asarray(out[:, :, 0]), np.asarray(v[:, :, 0]), atol=2e-6
+        )
+
+    def test_causal_large_scores(self):
+        # the -1e30 mask + flash merge must survive extreme score ranges
+        mesh = get_mesh(8, model_parallel=1)
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.standard_normal((1, 1, 16, 8)) * 40, jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 1, 16, 8)) * 40, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 1, 16, 8)), jnp.float32)
+        out = sequence_parallel_attention(q, k, v, mesh, "data", causal=True)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (8**-0.5)
+        mask = jnp.tril(jnp.ones((16, 16), bool))
+        ref = jax.nn.softmax(jnp.where(mask, s, -1e30), axis=-1) @ v
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
     def test_rejects_indivisible_seq(self):
         mesh = get_mesh(8, model_parallel=1)
         x = jnp.zeros((1, 1, 12, 8), jnp.float32)
