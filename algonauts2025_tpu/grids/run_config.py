@@ -22,5 +22,13 @@ def main(path: str) -> None:
     print(json.dumps(out, default=str))
 
 
+def cli(argv: list[str] | None = None) -> None:
+    """Console-script entry (``algonauts-tpu-run-config <config.json>``)."""
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 1:
+        raise SystemExit("usage: algonauts-tpu-run-config <config.json>")
+    main(argv[0])
+
+
 if __name__ == "__main__":
-    main(sys.argv[1])
+    cli()
