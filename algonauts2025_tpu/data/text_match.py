@@ -20,6 +20,16 @@ _ABBREV = {
     "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "e.g", "i.e",
     "a.m", "p.m", "u.s", "inc", "ltd", "co", "gen", "col", "capt", "sgt",
     "ave", "blvd", "rd", "mt", "ft", "dept", "approx",
+    # titles that precede proper names (r4 held-out corpus found "Gov."
+    # and "Fr." causing false splits — ACCURACY.md r4; closed in r5)
+    "gov", "fr", "lt", "maj", "cmdr", "rev", "hon", "pres", "sen", "rep",
+    "det", "supt", "adm", "cpl", "pvt", "sis", "msgr", "atty",
+    # month abbreviations ("Jan. 12"); terminal-capable, see below.  Day
+    # abbreviations are deliberately NOT listed: "sat"/"sun"/"may" are
+    # ordinary words whose suppression would merge real boundaries
+    # (recall matters more than precision for context building).
+    "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep", "sept",
+    "oct", "nov", "dec",
 }
 
 
@@ -81,7 +91,14 @@ _SENT_END = re.compile(r"(?:([.!?]+)([\"')\]]*)|([—–]|--))(\s+|$)")
 
 #: abbreviations that CAN legitimately end a sentence ("lands at 2 a.m.
 #: Naturally, ..."): an uppercase follower overrides the suppression
-_TERMINAL_OK_ABBREV = {"a.m", "p.m", "etc", "u.s", "inc", "ltd", "co"}
+_TERMINAL_OK_ABBREV = {"a.m", "p.m", "etc", "u.s", "inc", "ltd", "co",
+                       # months: digits follow mid-sentence ("Jan. 12"
+                       # suppresses via the non-upper follower); a capital
+                       # follower means a new sentence ("back in Oct.
+                       # Bring snacks.") — unlike titles, months never
+                       # precede proper names
+                       "jan", "feb", "mar", "apr", "jun", "jul", "aug",
+                       "sep", "sept", "oct", "nov", "dec"}
 
 
 def split_sentences(text: str) -> list[Sentence]:

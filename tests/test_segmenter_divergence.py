@@ -9,12 +9,22 @@ Friends-style dialogue corpora instead:
 - ``dialogue_corpus.json`` — the development set the r4 rules were tuned
   on (interruption dashes, dotted acronyms, a.m./p.m. sentence ends,
   staccato fragments); pinned at exact agreement as a regression fixture.
-- ``dialogue_corpus_heldout.json`` — written AFTER the rules were frozen
-  and measured as-is (no tuning loop).  Measured at P=0.949 R=1.000
-  F1=0.974 on 69 gold sentences (2 false splits: the title abbreviations
-  "Gov."/"Fr." are not in the abbreviation list).  The test gates F1 at
-  0.95 so a rule regression fails loudly while the known 2-FP class
-  stays documented rather than silently absorbed.
+- ``dialogue_corpus_heldout.json`` — written AFTER the r4 rules were
+  frozen and measured as-is (no tuning loop).  Measured at P=0.949
+  R=1.000 F1=0.974 at the r4 freeze (2 false splits: the title
+  abbreviations "Gov."/"Fr.").  The r5 rule set added the title and
+  month abbreviation classes, which closed both; the corpus now reads
+  P=R=F1=1.0 and is gated as a regression fixture alongside the dev set.
+- ``dialogue_corpus_heldout2.json`` — written AFTER the r5 rule freeze
+  (titles + months) and measured as-is.  P=0.974 R=1.000 F1=0.987 on
+  74 gold sentences.  The single false split is the deliberately-planted
+  day-abbreviation probe ("moved to Sat. at noon"): "sat"/"sun"/"may"
+  are ordinary English words whose suppression would merge real
+  boundaries, so the class is left open by design (recall > precision
+  for context building — a missed boundary corrupts every following
+  word's context, a false split only shortens one).  The residual bound:
+  one FP per capitalized day-abbreviation + lowercase-follower, a
+  pattern essentially absent from spoken-dialogue transcripts.
 
 Divergence is also propagated through the production enhancer chain
 (AddSentenceToWords -> AddContextToWords) to measure CONTEXT drift: the
@@ -73,13 +83,22 @@ def test_dev_corpus_exact_agreement():
 
 
 def test_heldout_corpus_agreement_bound():
-    """Held-out corpus (written after rule freeze, measured as-is):
-    F1 must stay >= 0.95 (measured 0.974 at freeze, ACCURACY.md)."""
+    """r4 held-out corpus (measured 0.974 at the r4 freeze): the r5 title
+    abbreviation rules closed both known false splits, so it is now a
+    full-agreement regression fixture like the dev corpus."""
     prec, rec, f1, diffs = _agreement(_load("dialogue_corpus_heldout.json"))
-    assert f1 >= 0.95, (prec, rec, f1, diffs)
-    # recall regression guard: every MISSED boundary merges two sentences
-    # into one context block — worse for features than a false split
-    assert rec >= 0.97, (prec, rec, f1, diffs)
+    assert f1 == 1.0, (prec, rec, f1, diffs)
+
+
+def test_heldout2_corpus_agreement_bound():
+    """r5 held-out corpus (written after the r5 rule freeze, measured
+    as-is: P=0.974 R=1.000 F1=0.987).  The one FP is the documented
+    day-abbreviation probe ("Sat. at noon") — left open by design, see
+    module docstring.  Gates: F1 >= 0.98, and recall stays perfect
+    (a missed boundary merges contexts — strictly worse than a split)."""
+    prec, rec, f1, diffs = _agreement(_load("dialogue_corpus_heldout2.json"))
+    assert f1 >= 0.98, (prec, rec, f1, diffs)
+    assert rec == 1.0, (prec, rec, f1, diffs)
 
 
 def _contexts_for(text: str, seg_fn, sentence_only: bool = False) -> list[str]:
@@ -122,7 +141,11 @@ def test_context_drift_from_segmentation():
     AddSentenceToWords -> AddContextToWords chain and measure how many
     word contexts actually change.  Gates the end-to-end impact of the
     segmenter approximation on the text features (r3 verdict #6)."""
-    items = _load("dialogue_corpus.json") + _load("dialogue_corpus_heldout.json")
+    items = (
+        _load("dialogue_corpus.json")
+        + _load("dialogue_corpus_heldout.json")
+        + _load("dialogue_corpus_heldout2.json")
+    )
 
     def gold_fn_for(item):
         spans = []
@@ -167,11 +190,22 @@ def test_context_drift_harness_detects_divergence():
     items = [
         it
         for it in _load("dialogue_corpus_heldout.json")
+        + _load("dialogue_corpus_heldout2.json")
         if _gold_boundaries(it)
         != {s.end for s in text_match.split_sentences(it["text"])}
         - {len(it["text"])}
+        and len(it["sentences"]) > 1
     ]
-    assert items, "no divergent held-out snippets left — update this test"
+    if not items:
+        # the rules fully agree with every corpus: synthesize divergence
+        # by mis-labeling a multi-sentence snippet as one gold sentence —
+        # the harness must still see the disagreement
+        src = next(
+            it
+            for it in _load("dialogue_corpus_heldout.json")
+            if len(it["sentences"]) > 1
+        )
+        items = [{"text": src["text"], "sentences": [src["text"]]}]
     it = items[0]
 
     spans, pos = [], 0
