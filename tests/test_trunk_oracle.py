@@ -241,6 +241,15 @@ ORACLE_CONFIGS = [
     (64, 2, 4, 19, {"scalenorm": False}),        # x_transformers LayerNorm
     (64, 2, 4, 13, {"causal": True}),            # Decoder (causal mask)
     (96, 2, 3, 12, {"scalenorm": False, "scale_residual": False, "mult": 3}),
+    # flagship-shaped (r4 verdict #8): the deployed trunk is dim 3072 /
+    # depth 8 / heads 8 / dim_head = dim//heads (reference
+    # transformer.py:55 sets attn_dim_head = dim // heads) with the
+    # default knobs.  Scaled to dim 256 (the reference's own minimum,
+    # transformer.py:50) at the deployed depth and head count:
+    (256, 8, 8, 48, {}),                         # deployed depth/heads/knobs
+    # and the flagship's PARTIAL-rotary regime: dh 384 -> rot_dim 192
+    # (=dh/2); dh 128 -> rot_dim 64 reproduces the same rot/dh ratio
+    (256, 8, 2, 33, {}),                         # depth 8, dh 128, rot 0.5
 ]
 
 
