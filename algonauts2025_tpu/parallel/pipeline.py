@@ -24,6 +24,13 @@ backbone can run inference on chips too small to hold it — stage
 memory is L/S of the weights.  Exactness vs the single-device scan is
 pinned by tests/test_parallel_sp_pp.py (the schedule only reorders
 WHICH device computes a layer, never the math within one microbatch).
+
+Gradient contract: ``jax.grad`` works through the schedule — the
+fori_loop bound (M + S - 1) is static, ``ppermute``/``psum``/``.at[].set``
+all have reverse rules — and param/input gradients match the plain
+``lax.scan`` gradients over the same microbatch shapes, including
+gradients flowing through ``collect``\\ ed states
+(tests/test_parallel_sp_pp.py::TestPipelineScan::test_grad_matches_sequential).
 """
 
 from __future__ import annotations

@@ -28,6 +28,15 @@ Design notes
   origin device, hence its global key offset).  The combine is
   order-independent up to fp reassociation, so the result matches
   single-device attention to fp32 roundoff.
+
+Gradient contract
+-----------------
+``jax.grad`` works through the ring: the ``fori_loop`` trip count is the
+static mesh-axis size (JAX scan-converts it for reverse mode) and
+``ppermute`` transposes to the inverted permutation, so q/k/v gradients
+match the single-device attention gradients to fp32 roundoff —
+equivalence (incl. causal) is pinned by
+``tests/test_parallel_sp_pp.py::TestRingAttention::test_grad_matches_single_device``.
 """
 
 from __future__ import annotations
