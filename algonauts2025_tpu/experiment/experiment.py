@@ -76,7 +76,14 @@ class Experiment(pydantic.BaseModel):
     save_checkpoints: bool = True
     checkpoint_path: str | None = None
     test_only: bool = False
-    n_devices: int | None = None  # data-parallel width (None = all local)
+    # device topology (reference main.py:388-394 reaches DDP from plain
+    # config via gpus_per_node; here a grid/ensemble config can request
+    # the full mesh): n_devices = TOTAL devices (None = all local),
+    # model_parallel = tensor-parallel width — the mesh is
+    # (n_devices/model_parallel) x model_parallel over ("data", "model"),
+    # with readout/FF/attention weights sharded per parallel/sharding.py.
+    n_devices: int | None = None
+    model_parallel: int = pydantic.Field(default=1, ge=1)
     profile: bool = False  # jax.profiler trace of the first train epoch
 
     infra: TaskInfra = TaskInfra(version="1")
@@ -115,9 +122,11 @@ class Experiment(pydantic.BaseModel):
         n = self.n_devices
         if n is None:
             n = len(jax.devices())
-        if n <= 1:
+        if n <= 1 and self.model_parallel <= 1:
             return None
-        return get_mesh(n_devices=n)
+        # model_parallel > n_devices (or non-divisible) fails loudly in
+        # get_mesh rather than silently training pure-dp
+        return get_mesh(n_devices=n, model_parallel=self.model_parallel)
 
     def _feature_dims(self, batch) -> tuple[dict, int]:
         feature_dims: dict[str, tuple[int, int] | None] = {}

@@ -148,6 +148,10 @@ default_config = {
     "loss": {"name": "MSELoss"},
     "optim": _OPTIM,
     "n_epochs": 15,
+    # device topology (reference reaches DDP via infra.gpus_per_node;
+    # here the mesh is config): total devices and tensor-parallel width
+    "n_devices": None,
+    "model_parallel": 1,
     "limit_train_batches": None,
     "patience": None,
     "enable_progress_bar": True,
