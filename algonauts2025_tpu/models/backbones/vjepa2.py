@@ -48,6 +48,12 @@ class VJEPA2Config:
     #: with quantize: use calibrated static activation scales instead of
     #: dynamic per-row maxima (requires calibrate_quant_scales first)
     quant_static: bool = False
+    #: sequence parallelism: when set, the module expects to run inside a
+    #: ``shard_map`` with the TOKEN axis sharded over this mesh axis —
+    #: attention runs as exact ring attention (parallel/sequence.py),
+    #: rotary tables take the shard's global token offset, and token
+    #: pooling becomes a pmean.  None (default) = single-device layout.
+    sequence_parallel_axis: str | None = None
 
 
 def _int8_init(key, shape, dtype=jnp.int8):
@@ -207,7 +213,7 @@ class VJEPA2Attention(nn.Module):
         cos, sin = rope
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
-        out = _attention(q, k, v, cfg.dtype)
+        out = _attention(q, k, v, cfg.dtype, axis=cfg.sequence_parallel_axis)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.hidden_size)
         return dense("proj")(out)
 
@@ -219,9 +225,17 @@ def _pick_block(t: int, preferred: int) -> int:
     return 0
 
 
-def _attention(q: jax.Array, k: jax.Array, v: jax.Array, dtype) -> jax.Array:
+def _attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, dtype, axis: str | None = None
+) -> jax.Array:
     """Blockwise flash attention on TPU (scores never touch HBM);
-    XLA fallback elsewhere or for awkward sequence lengths."""
+    XLA fallback elsewhere or for awkward sequence lengths.  With
+    ``axis`` (sequence parallelism) the token axis is sharded over that
+    mesh axis and the exact ring recipe rotates KV shards around it."""
+    if axis is not None:
+        from ...parallel.sequence import ring_attention_local
+
+        return ring_attention_local(q, k, v, axis)
     t, hd = q.shape[-2], q.shape[-1]
     qb = _pick_block(t, 512)
     kvb = _pick_block(t, 1024)
@@ -234,6 +248,16 @@ def _attention(q: jax.Array, k: jax.Array, v: jax.Array, dtype) -> jax.Array:
     from ...ops.attention import dot_product_attention
 
     return dot_product_attention(q, k, v)
+
+
+def _token_mean(x: jax.Array, axis: str | None) -> jax.Array:
+    """fp32 mean over the token axis (axis 1 of (B, N, D)).  Under
+    sequence parallelism the local mean is pmean'd over the mesh axis —
+    shards hold equal token counts, so that IS the global mean."""
+    m = x.astype(jnp.float32).mean(axis=1)
+    if axis is not None:
+        m = jax.lax.pmean(m, axis)
+    return m
 
 
 class VJEPA2Block(nn.Module):
@@ -288,7 +312,7 @@ class VJEPA2Block(nn.Module):
         if self.token_pool:
             # emit only the token mean: saves a (T, D) fp32 HBM write per
             # layer (the video feature pools over tokens anyway)
-            return x, x.astype(jnp.float32).mean(axis=1)
+            return x, _token_mean(x, cfg.sequence_parallel_axis)
         return x, x.astype(jnp.float32)
 
 
@@ -328,16 +352,34 @@ class VJEPA2Backbone(nn.Module):
             + bias
         ).astype(cfg.dtype)
 
-        head = x.astype(jnp.float32)[None]
+        spa = cfg.sequence_parallel_axis
         if self.token_pool:
-            head = head.mean(axis=2)
+            head = _token_mean(x, spa)[None]
+        else:
+            head = x.astype(jnp.float32)[None]
         # rotary tables are layer-invariant: build once, broadcast into the
         # scan (the rotation itself is two multiplies + a pair swap)
         n_tokens = x.shape[1]
-        cos_np, sin_np = _rope_tables(
-            n_tokens, cfg.hidden_size // cfg.num_heads, cfg.crop_size, cfg.patch_size
-        )
-        rope = (jnp.asarray(cos_np), jnp.asarray(sin_np))
+        if spa is None:
+            cos_np, sin_np = _rope_tables(
+                n_tokens, cfg.hidden_size // cfg.num_heads,
+                cfg.crop_size, cfg.patch_size,
+            )
+            rope = (jnp.asarray(cos_np), jnp.asarray(sin_np))
+        else:
+            # under sequence parallelism x holds a contiguous token shard;
+            # positions are global: build the full table (host NumPy, tiny)
+            # and slice this shard's rows at its global offset
+            n_global = n_tokens * jax.lax.psum(1, spa)
+            cos_np, sin_np = _rope_tables(
+                n_global, cfg.hidden_size // cfg.num_heads,
+                cfg.crop_size, cfg.patch_size,
+            )
+            start = jax.lax.axis_index(spa) * n_tokens
+            rope = tuple(
+                jax.lax.dynamic_slice_in_dim(jnp.asarray(t), start, n_tokens)
+                for t in (cos_np, sin_np)
+            )
         ScannedBlock = nn.scan(
             VJEPA2Block,
             variable_axes={"params": 0, "quant_stats": 0},
@@ -347,9 +389,10 @@ class VJEPA2Backbone(nn.Module):
         )
         x, layer_states = ScannedBlock(cfg, token_pool=self.token_pool, name="layers")(x, rope)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_norm")(x)
-        last = x.astype(jnp.float32)
         if self.token_pool:
-            last = last.mean(axis=1)
+            last = _token_mean(x, spa)
+        else:
+            last = x.astype(jnp.float32)
         full = jnp.concatenate([head, layer_states], axis=0)
         full = full.at[-1].set(last)
         return full
