@@ -12,6 +12,8 @@ reference" gate, runnable without the real dataset or weights:
    the measured drift documents the budget that leaves for the 0.5% gate).
 """
 
+import json
+
 import numpy as np
 import pytest
 
@@ -89,3 +91,169 @@ def test_bf16_drift_at_flagship_head_dims(backbone_kind, rng):
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert cos.min() > 0.999, cos
     assert rel < 0.02, rel
+
+# -- the turnkey real-data gate harness (r4 verdict missing #1) --------------
+#
+# The real comparison needs the dataset + weights (absent here); these
+# tests prove the HARNESS works: run the one-command gate on the synthetic
+# study against a "reference" manufactured from our own outputs — it must
+# pass on the faithful reference and FAIL on a deliberately perturbed one.
+
+
+def _export_fake_reference(exp, ref_root, perturb=0.0, max_items=None):
+    """Save our own extracted features in the gate's interchange format,
+    optionally perturbed — the stand-in for export_reference_features.py."""
+    from algonauts2025_tpu.data.helpers import extract_events
+    from algonauts2025_tpu.experiment.accuracy_gate import item_key, portable_uid
+
+    events = exp.data.get_events()
+    features = exp.data.build_features(events)
+    rng = np.random.default_rng(7)
+    for name in ("text", "audio", "video"):
+        feature = features.get(name)
+        if feature is None:
+            continue
+        evs = extract_events(events, types=feature._event_types_helper)
+        if max_items is not None:
+            evs = evs[:max_items]
+        out_dir = ref_root / name
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for e, arr in zip(evs, feature._get_data(evs)):
+            arr = np.asarray(arr, np.float32)
+            if perturb:
+                arr = arr + perturb * rng.standard_normal(arr.shape).astype(
+                    np.float32
+                )
+            np.save(out_dir / f"{item_key(portable_uid(e))}.npy", arr)
+
+
+def test_real_data_gate_harness(tmp_path):
+    """One command end to end on the synthetic study: faithful reference
+    passes every stage; perturbed features and shifted metrics FAIL."""
+    from test_experiment_e2e import _config
+
+    from algonauts2025_tpu.experiment import Experiment
+    from algonauts2025_tpu.experiment.accuracy_gate import run_gate
+
+    study_path = make_synthetic_study(
+        tmp_path / "data", with_video=False, n_parcels=16, duration=40.0
+    )
+    cfg = _config(tmp_path, study_path)
+    cfg["n_epochs"] = 1
+    cfg["infra"] = {"folder": str(tmp_path / "gate_runs"), "mode": "cached"}
+
+    # manufacture the "reference": our own features + our own val/pearson
+    exp = Experiment(**cfg)
+    _export_fake_reference(exp, tmp_path / "ref_ok", max_items=20)
+    truth = Experiment(
+        **{**cfg, "infra": {"folder": str(tmp_path / "truth"), "mode": "force"}}
+    ).run()
+    ref_metrics = tmp_path / "ref_metrics.json"
+    ref_metrics.write_text(
+        json.dumps({"val/pearson": [truth["val/pearson"]]})
+    )
+
+    verdict = run_gate(
+        cfg,
+        ref_features=tmp_path / "ref_ok",
+        ref_metrics=ref_metrics,
+        seeds=[33],
+        max_items=20,
+        out=tmp_path / "report.json",
+    )
+    assert verdict["complete"] and verdict["passed"], verdict
+    assert verdict["features"]["modalities"]["text"]["passed"]
+    assert verdict["gate"]["rel_diff"] <= 1e-9  # same seed, same pipeline
+    assert (tmp_path / "report.json").exists()
+
+    # perturbed features: stage 1 must fail AND block the recipe stage
+    _export_fake_reference(exp, tmp_path / "ref_bad", perturb=0.1, max_items=20)
+    bad = run_gate(
+        cfg,
+        ref_features=tmp_path / "ref_bad",
+        ref_metrics=ref_metrics,
+        seeds=[33],
+        max_items=20,
+    )
+    assert not bad["passed"], bad
+    assert not bad["features"]["modalities"]["text"]["passed"]
+    assert "skipped" in bad["gate"]
+
+    # shifted reference metrics: the 0.5% gate must fail (features pass;
+    # the gate_seed33 run is task-cached from the passing invocation)
+    ref_metrics.write_text(
+        json.dumps({"val/pearson": [truth["val/pearson"] * 1.02 + 0.02]})
+    )
+    shifted = run_gate(
+        cfg,
+        ref_features=tmp_path / "ref_ok",
+        ref_metrics=ref_metrics,
+        seeds=[33],
+        max_items=20,
+    )
+    assert shifted["features"]["passed"]
+    assert not shifted["gate"]["passed"], shifted["gate"]
+    assert not shifted["passed"]
+
+
+def test_gate_stage_seed_fallback():
+    """Protocol step 4: when the seed spread exceeds the gate width the
+    comparison falls back to the means (and says so)."""
+    from algonauts2025_tpu.experiment.accuracy_gate import gate_stage
+
+    # tight seeds: plain single-value comparison
+    g = gate_stage([0.2000, 0.2001], [0.2002, 0.2001])
+    assert not g["compared_on_means"] and g["passed"]
+
+    # wide spread, means within gate: fallback engages and passes
+    g = gate_stage([0.195, 0.205], [0.205, 0.1955])
+    assert g["compared_on_means"] and g["passed"]
+
+    # wide spread, means beyond gate: fails on the means
+    g = gate_stage([0.195, 0.205], [0.215, 0.225])
+    assert g["compared_on_means"] and not g["passed"]
+
+
+def test_gate_feature_comparisons_units(tmp_path):
+    """compare_feature_items: thresholds, missing items, shape guards."""
+    from algonauts2025_tpu.experiment.accuracy_gate import (
+        compare_feature_items,
+        item_key,
+    )
+
+    rng = np.random.default_rng(0)
+    ref_dir = tmp_path / "audio"
+    ref_dir.mkdir()
+    a = rng.standard_normal((3, 8, 16)).astype(np.float32)
+    np.save(ref_dir / f"{item_key('u1')}.npy", a)
+
+    # identical: passes
+    r = compare_feature_items("audio", [("u1", a)], ref_dir)
+    assert r["passed"] and r["compared"] == 1
+
+    # one layer decorrelated: fails with the layer-pearson stat
+    b = a.copy()
+    b[1] = rng.standard_normal((8, 16))
+    r = compare_feature_items("audio", [("u1", b)], ref_dir)
+    assert not r["passed"] and r["worst_layer_pearson"] < 0.999
+
+    # text threshold: max|delta| 2e-2 fails, 2e-3 passes
+    t = rng.standard_normal((4, 8)).astype(np.float32)
+    tdir = tmp_path / "text"
+    tdir.mkdir()
+    np.save(tdir / f"{item_key('w1')}.npy", t)
+    assert compare_feature_items("text", [("w1", t + 2e-3)], tdir)["passed"]
+    assert not compare_feature_items("text", [("w1", t + 2e-2)], tdir)["passed"]
+
+    # nothing comparable is a FAIL, not a vacuous pass
+    assert not compare_feature_items("audio", [("unknown", a)], ref_dir)["passed"]
+    # shape mismatch is a FAIL even when values would correlate
+    r = compare_feature_items("audio", [("u1", a[:, :, :8])], ref_dir)
+    assert not r["passed"] and r["shape_mismatches"]
+
+
+def test_gate_cli_usage():
+    from algonauts2025_tpu.experiment.accuracy_gate import main
+
+    with pytest.raises(SystemExit):
+        main([])  # nothing to compare
