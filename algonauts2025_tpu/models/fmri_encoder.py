@@ -54,6 +54,10 @@ class FmriEncoderConfig(pydantic.BaseModel):
     heads: int = 8
     bf16: bool = False
     remat: bool = False
+    #: with remat: selective checkpoint policy ("save_attn_out" saves the
+    #: per-layer attention branch; None = full remat).  Numerically
+    #: identical either way — a pure HBM-vs-recompute trade.
+    remat_policy: str | None = None
 
     def build(
         self,
@@ -116,6 +120,7 @@ class FmriEncoder(nn.Module):
             attn_dropout=0.0,
             ff_dropout=0.0,
             remat=cfg.remat,
+            remat_policy=cfg.remat_policy,
         )
         assert cfg.n_subjects is not None, "n_subjects must be set before build"
         self.predictor = SubjectLayers(

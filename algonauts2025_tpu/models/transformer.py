@@ -163,6 +163,11 @@ class TransformerEncoder(nn.Module):
     scale_residual: bool = True
     causal: bool = False
     remat: bool = False
+    #: with remat: selective checkpoint policy name (None = full remat).
+    #: "save_attn_out" saves the tagged attention branch output per layer
+    #: (58 MB x depth at flagship shapes) and recomputes everything else —
+    #: numerically identical, trades HBM for less recompute.
+    remat_policy: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -189,6 +194,7 @@ class TransformerEncoder(nn.Module):
             deterministic=deterministic,
             causal=self.causal,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             name="blocks",
         )(x, None)
         norm_cls = _norm_cls(self.use_scalenorm)
@@ -210,6 +216,7 @@ class _BlockWrapper(nn.Module):
     deterministic: bool
     causal: bool
     remat: bool
+    remat_policy: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, _unused: tp.Any) -> tuple[jax.Array, None]:
@@ -219,12 +226,27 @@ class _BlockWrapper(nn.Module):
             mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
         block_cls = EncoderBlock
         if self.remat:
-            # full remat: selective save_only_these_names("attn_out") was
-            # measured to OOM at flagship shapes (params+opt state leave
-            # <464 MB of headroom; the policy needs 58 MB x 8 layers more).
+            # default: FULL remat.  Selective save_only_these_names
+            # ("attn_out") OOM'd at flagship shapes in r2b (needed 58 MB x
+            # 8 layers more than the <464 MB of headroom); the r4 InfoNCE
+            # rewrite freed ~91 MB of step HBM, so the policy is exposed
+            # as remat_policy="save_attn_out" for A/B (BENCH_NOTES r5).
             # Only `deterministic` (arg 2) is static — the causal mask is a
             # traced array and jax.checkpoint requires hashable statics
-            block_cls = nn.remat(EncoderBlock, static_argnums=(2,))
+            policy = None
+            if self.remat_policy is not None:
+                import jax.ad_checkpoint as adc
+
+                if self.remat_policy == "save_attn_out":
+                    policy = adc.checkpoint_policies.save_only_these_names(
+                        "attn_out"
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown remat_policy {self.remat_policy!r} "
+                        "(known: 'save_attn_out')"
+                    )
+            block_cls = nn.remat(EncoderBlock, static_argnums=(2,), policy=policy)
         x = block_cls(
             dim=self.dim,
             heads=self.heads,

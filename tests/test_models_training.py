@@ -600,6 +600,37 @@ def test_causal_remat_trunk_trains(rng):
     assert flat and all(np.isfinite(np.asarray(l)).all() for l in flat)
 
 
+def test_remat_policy_save_attn_out_identical(rng):
+    """remat_policy='save_attn_out' is a pure HBM-vs-recompute trade:
+    forward outputs and gradients must be IDENTICAL to full remat (the
+    checkpoint policy changes what is saved, never what is computed)."""
+    from algonauts2025_tpu.models.transformer import TransformerEncoder
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 32)), jnp.float32)
+    outs, grads = [], []
+    for policy in (None, "save_attn_out"):
+        enc = TransformerEncoder(
+            dim=32, depth=2, heads=4, remat=True, remat_policy=policy
+        )
+        params = enc.init(jax.random.PRNGKey(0), x)["params"]
+        outs.append(np.asarray(jax.jit(enc.apply)({"params": params}, x)))
+
+        def loss(p, enc=enc):
+            return (enc.apply({"params": p}, x) ** 2).sum()
+
+        grads.append(jax.jit(jax.grad(loss))(params))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        grads[0],
+        grads[1],
+    )
+    with pytest.raises(ValueError, match="unknown remat_policy"):
+        enc = TransformerEncoder(dim=32, depth=2, heads=4, remat=True,
+                                 remat_policy="bogus")
+        enc.init(jax.random.PRNGKey(0), x)
+
+
 def test_mlp_trailing_dropout_parity():
     """torchvision MLP ends with Dropout after the final Linear; the
     bare-Linear build (no hidden sizes) has none (reference common.py
