@@ -206,12 +206,13 @@ def feature_stage(
 
 
 def recipe_stage(config: dict, seeds: tp.Sequence[int]) -> dict:
-    """Run the flagship recipe per seed (task-cached) and collect
-    val/pearson.  Each seed gets its own run folder."""
+    """Run the flagship recipe per seed (task-cached) and collect every
+    val/* metric.  Each seed gets its own run folder."""
     from .experiment import Experiment
 
     base = Path(config["infra"]["folder"])
     ours: dict[str, float] = {}
+    val_metrics: dict[str, list[float]] = {}
     for seed in seeds:
         cfg = json.loads(json.dumps(config, default=str))  # deep copy
         cfg["seed"] = int(seed)
@@ -219,8 +220,15 @@ def recipe_stage(config: dict, seeds: tp.Sequence[int]) -> dict:
         exp = Experiment(**cfg)
         result = exp.run()
         ours[str(seed)] = float(result["val/pearson"])
+        for k, v in result.items():
+            if k.startswith("val/") and isinstance(v, (int, float)):
+                val_metrics.setdefault(k, []).append(float(v))
         logger.info("recipe seed %s: val/pearson=%.6f", seed, ours[str(seed)])
-    return {"val_pearson": ours, "seeds": [int(s) for s in seeds]}
+    return {
+        "val_pearson": ours,
+        "seeds": [int(s) for s in seeds],
+        "val_metrics": val_metrics,
+    }
 
 
 # -- stage 3: the gate ------------------------------------------------------
@@ -247,6 +255,37 @@ def _load_reference_metrics(path: Path) -> list[float]:
             return [float(v) for v in (vals if isinstance(vals, list) else [vals])]
         return [float(v) for v in data.values()]
     raise ValueError(f"unsupported reference metrics format in {path}")
+
+
+def subject_report(
+    ours_val_metrics: tp.Mapping[str, tp.Sequence[float]], ref_path: Path
+) -> dict | None:
+    """Informational per-subject comparison (protocol step 3 parenthesis:
+    "and per-subject val/subj_pearson/*").  Compares the seed-means of
+    every val/subj_pearson* column present on BOTH sides; never gates —
+    the contract metric is val/pearson."""
+    if ref_path.suffix != ".csv":
+        return None
+    import pandas as pd
+
+    df = pd.read_csv(ref_path)
+    shared = [
+        c
+        for c in df.columns
+        if c.startswith("val/subj_pearson") and c in ours_val_metrics
+    ]
+    if not shared:
+        return None
+    out = {}
+    for c in shared:
+        ours_m = float(np.mean(ours_val_metrics[c]))
+        ref_m = float(df[c].dropna().mean())
+        out[c] = {
+            "ours_mean": ours_m,
+            "reference_mean": ref_m,
+            "rel_diff": abs(ours_m - ref_m) / abs(ref_m) if ref_m else None,
+        }
+    return out
 
 
 def gate_stage(ours: tp.Sequence[float], ref: tp.Sequence[float]) -> dict:
@@ -317,6 +356,11 @@ def run_gate(
             ref_vals = _load_reference_metrics(Path(ref_metrics))
             ours_vals = list(verdict["recipe"]["val_pearson"].values())
             verdict["gate"] = gate_stage(ours_vals, ref_vals)
+            subj = subject_report(
+                verdict["recipe"]["val_metrics"], Path(ref_metrics)
+            )
+            if subj is not None:
+                verdict["gate"]["per_subject"] = subj
     else:
         verdict["recipe"] = {"skipped": "no --ref-metrics given"}
         verdict["gate"] = {"skipped": "no --ref-metrics given"}

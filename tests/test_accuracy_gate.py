@@ -257,3 +257,24 @@ def test_gate_cli_usage():
 
     with pytest.raises(SystemExit):
         main([])  # nothing to compare
+
+
+def test_gate_subject_report(tmp_path):
+    """Per-subject comparison (protocol step 3): seed-means of shared
+    val/subj_pearson* columns, informational only."""
+    import pandas as pd
+
+    from algonauts2025_tpu.experiment.accuracy_gate import subject_report
+
+    csv = tmp_path / "ref.csv"
+    pd.DataFrame(
+        [{"val/pearson": 0.2, "val/subj_pearson/sub-01": 0.21,
+          "val/subj_pearson/sub-02": 0.19}]
+    ).to_csv(csv, index=False)
+    ours = {"val/pearson": [0.2], "val/subj_pearson/sub-01": [0.215, 0.205]}
+    rep = subject_report(ours, csv)
+    assert set(rep) == {"val/subj_pearson/sub-01"}  # only shared columns
+    assert rep["val/subj_pearson/sub-01"]["rel_diff"] == pytest.approx(
+        abs(0.21 - 0.21) / 0.21, abs=1e-12
+    )
+    assert subject_report(ours, tmp_path / "ref.json") is None  # csv only
