@@ -245,7 +245,10 @@ def _load_reference_metrics(path: Path) -> list[float]:
         col = "val/pearson" if "val/pearson" in df.columns else None
         if col is None:
             raise ValueError(f"{path} has no 'val/pearson' column: {list(df.columns)}")
-        return [float(v) for v in df[col].dropna()]
+        vals = [float(v) for v in df[col].dropna()]
+        if not vals:
+            raise ValueError(f"{path} has no non-NaN val/pearson values")
+        return vals
     data = json.loads(path.read_text())
     if isinstance(data, list):
         return [float(v) for v in data]
@@ -280,10 +283,12 @@ def subject_report(
     for c in shared:
         ours_m = float(np.mean(ours_val_metrics[c]))
         ref_m = float(df[c].dropna().mean())
+        # an all-NaN column means nan (truthy!), not 0 — guard both ways
+        ok = np.isfinite(ref_m) and ref_m != 0.0
         out[c] = {
             "ours_mean": ours_m,
             "reference_mean": ref_m,
-            "rel_diff": abs(ours_m - ref_m) / abs(ref_m) if ref_m else None,
+            "rel_diff": abs(ours_m - ref_m) / abs(ref_m) if ok else None,
         }
     return out
 
@@ -291,6 +296,8 @@ def subject_report(
 def gate_stage(ours: tp.Sequence[float], ref: tp.Sequence[float]) -> dict:
     """Protocol steps 3-4: single-value gate, with the 3-seed-mean
     fallback when the seed spread exceeds the gate width."""
+    if not ours or not ref:
+        raise ValueError("gate needs >=1 val/pearson value on each side")
     ours_mean = float(np.mean(ours))
     ref_mean = float(np.mean(ref))
     denom = abs(ref[0]) if len(ref) == 1 else abs(ref_mean)

@@ -156,6 +156,14 @@ def average_submissions(
 ) -> Path:
     """Combine all run submissions under ``grid_path`` into one zip."""
     grid_path = Path(grid_path)
+    if per_voxel_weights and not weigh_by_score:
+        # reference parity: weights are only applied under weigh_by_score
+        # (reference average_submissions.py:121-125 computes but ignores
+        # them otherwise) — keep the behavior, but say so out loud
+        logger.warning(
+            "per_voxel_weights=True has no effect without "
+            "weigh_by_score=True: predictions are plain-averaged"
+        )
     paths = _discover(grid_path, max_runs)
     logger.info("Found %d submissions", len(paths))
     if not paths:

@@ -278,3 +278,31 @@ def test_gate_subject_report(tmp_path):
         abs(0.21 - 0.21) / 0.21, abs=1e-12
     )
     assert subject_report(ours, tmp_path / "ref.json") is None  # csv only
+
+
+def test_gate_degenerate_reference_inputs(tmp_path):
+    """Degenerate reference metrics fail with clear errors, not
+    IndexError/NaN verdicts (r5 review)."""
+    import pandas as pd
+
+    from algonauts2025_tpu.experiment.accuracy_gate import (
+        _load_reference_metrics,
+        gate_stage,
+        subject_report,
+    )
+
+    empty = tmp_path / "empty.csv"
+    pd.DataFrame({"val/pearson": [float("nan")]}).to_csv(empty, index=False)
+    with pytest.raises(ValueError, match="no non-NaN"):
+        _load_reference_metrics(empty)
+    with pytest.raises(ValueError, match=">=1 val/pearson"):
+        gate_stage([], [0.2])
+    with pytest.raises(ValueError, match="gate undefined"):
+        gate_stage([0.2], [0.0])
+    # all-NaN subject column: rel_diff is None, not NaN (NaN is truthy)
+    nan_csv = tmp_path / "nan.csv"
+    pd.DataFrame(
+        {"val/pearson": [0.2], "val/subj_pearson/sub-01": [float("nan")]}
+    ).to_csv(nan_csv, index=False)
+    rep = subject_report({"val/subj_pearson/sub-01": [0.2]}, nan_csv)
+    assert rep["val/subj_pearson/sub-01"]["rel_diff"] is None
