@@ -315,18 +315,25 @@ class Experiment(pydantic.BaseModel):
                     pv.update(jnp.asarray(yp), jnp.asarray(yt))
             np.save(Path(self.infra.folder) / "pearson.npy", pv.per_voxel())
 
-        # test/* metrics: only computable when the test split carries fmri
-        # targets (synthetic / held-out-with-targets studies).  The
-        # Algonauts challenge test split is submission-only (no fmri), so
-        # it skips with a log line instead of leaving the configured
-        # test/* metrics silently dead (r4 review).
+        # test/* metrics: only computable when the test split carries REAL
+        # fmri targets (held-out-with-targets studies).  The Algonauts
+        # challenge test split is submission-only — the adapter never
+        # emits test Fmri events (data/algonauts.py:177) — so it skips
+        # with a log line.  The check is on EVENTS, not on the probe
+        # batch: a prepared Fmri feature fills windows with its zeros
+        # missing-default, so "fmri" appears in every test batch and a
+        # batch-level check would score predictions against zeros and log
+        # meaningless exact-0.0 metrics rows (r5 review; supersedes the
+        # r4 probe-batch guard).
         if (
             test_ds is not None
             and len(test_ds)
             and any(k.startswith("test/") for k in trainer.metrics)
         ):
-            probe = next(test_ds.batches(batch_size=1))
-            if "fmri" in probe.data:
+            has_targets = not events[
+                (events.split == "test") & (events.type == "Fmri")
+            ].empty
+            if has_targets:
                 results.update(
                     trainer.evaluate(
                         test_ds.batches(batch_size=batch_size, num_workers=num_workers),
@@ -335,7 +342,7 @@ class Experiment(pydantic.BaseModel):
                 )
             else:
                 logger.info(
-                    "test split has no fmri targets (submission-only): "
+                    "test split has no Fmri target events (submission-only): "
                     "test/* metrics skipped"
                 )
 
