@@ -306,3 +306,40 @@ def test_gate_degenerate_reference_inputs(tmp_path):
     ).to_csv(nan_csv, index=False)
     rep = subject_report({"val/subj_pearson/sub-01": [0.2]}, nan_csv)
     assert rep["val/subj_pearson/sub-01"]["rel_diff"] is None
+
+
+# Trimodal golden (r5): the text-only golden above cannot see the audio
+# (wav decode -> polyphase -> mel -> conformer) or video (cv2 ring-buffer
+# decode -> patchify -> ViT -> flash/XLA attention) numeric paths, nor
+# contrastive InfoNCE or modality dropout.  This pins the full trimodal
+# fixed-seed pipeline on the CPU-8 conftest backend; measured
+# bit-identical across processes (2026-08-19).  (The same run on the
+# real TPU reads 0.015471 — backend numerics differ; the golden is a
+# CPU regression pin, not a cross-backend parity claim.)  Re-derive
+# ONLY after explaining the change.
+GOLDEN_TRIMODAL_VAL_PEARSON = 0.016289331018924713
+GOLDEN_TRIMODAL_TRAIN_LOSS = 1.053185224533081
+
+
+def test_trimodal_golden_regression(tmp_path):
+    from test_experiment_e2e import _config
+
+    study_path = make_synthetic_study(
+        tmp_path / "data", with_video=True, n_parcels=16, duration=24.0,
+        subjects=("sub-01",), train_episodes=("e01a", "e01b"),
+        test_episodes=("e01a",),
+    )
+    cache = str(tmp_path / "cache")
+    cfg = _config(tmp_path, study_path)
+    cfg["data"]["study"]["enhancers"].append({"name": "ExtractAudioFromVideo"})
+    cfg["data"]["audio_feature"] = {"name": "Wav2VecBert", "model_name": "tiny-random",
+                                    "infra": {"folder": cache}}
+    cfg["data"]["video_feature"] = {"name": "VJEPA2", "model_name": "tiny-random",
+                                    "window_batch": 2, "infra": {"folder": cache}}
+    cfg["brain_model_config"]["contrastive_enabled"] = True
+    cfg["brain_model_config"]["contrastive_modalities"] = ["video"]
+    cfg["brain_model_config"]["modality_dropout"] = 0.3
+    cfg["n_epochs"] = 1
+    out = Experiment(**cfg).run()
+    assert out["val/pearson"] == pytest.approx(GOLDEN_TRIMODAL_VAL_PEARSON, abs=1e-5)
+    assert out["train/loss"] == pytest.approx(GOLDEN_TRIMODAL_TRAIN_LOSS, rel=1e-4)
