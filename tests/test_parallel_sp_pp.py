@@ -378,6 +378,26 @@ class TestVideoSequenceParallel:
             ref.encode_windows(w), sp.encode_windows(w), atol=2e-5
         )
 
+    def test_quantized_sp_matches_single_device(self):
+        """int8 w8a8 (the production video default) under SP: dynamic
+        activation scales are per-token-row, hence shard-local — the
+        token-sharded path must match the single-device quantized path
+        to fp reassociation."""
+        from algonauts2025_tpu.features.video import TinyVideoBackbone
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+        ref = TinyVideoBackbone(
+            hidden_size=64, num_layers=2, n_frames=16, quantize=True
+        )
+        sp = TinyVideoBackbone(
+            hidden_size=64, num_layers=2, n_frames=16, quantize=True,
+            mesh=mesh, sequence_parallel=True,
+        )
+        w = self._windows()
+        np.testing.assert_allclose(
+            ref.encode_windows(w), sp.encode_windows(w), atol=5e-5
+        )
+
     def test_rejects_indivisible_frames(self):
         from algonauts2025_tpu.features.video import TinyVideoBackbone
 
