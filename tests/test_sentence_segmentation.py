@@ -129,3 +129,49 @@ def test_offsets_cover_text():
     assert sents[0].start == 0 and sents[-1].end == len(raw)
     for a, b in zip(sents[:-1], sents[1:]):
         assert a.end == b.start
+
+
+def test_split_sentences_fuzz_structural_invariants():
+    """The segmenter faces arbitrary ASR transcripts in production: on
+    random punctuation-dense strings it must never crash, and its output
+    must keep the structural contract — sentences are ordered,
+    non-overlapping [start, end) spans whose text matches the source and
+    which jointly cover every non-whitespace character (spacy
+    text_with_ws parity: trailing whitespace belongs to a sentence)."""
+    import random
+
+    from algonauts2025_tpu.data.text_match import split_sentences, tokenize
+
+    rng = random.Random(0)
+    charset = "abc xyZ AB.!?,—-\"'()[]0123456789$% .\n\t"
+    for trial in range(400):
+        n = rng.randint(0, 90)
+        s = "".join(rng.choice(charset) for _ in range(n))
+        sents = split_sentences(s)
+        if not s.strip():
+            continue  # whitespace-only: implementation returns [] or [s]
+        assert sents, repr(s)
+        pos = -1
+        covered = []
+        for sent in sents:
+            assert sent.start > pos or (pos == -1 and sent.start >= 0)
+            assert sent.end > sent.start
+            assert s[sent.start : sent.end] == sent.text, repr(s)
+            pos = sent.start
+            covered.append((sent.start, sent.end))
+        # spans are disjoint and ordered
+        for (a0, a1), (b0, b1) in zip(covered, covered[1:]):
+            assert a1 <= b0
+        # every non-whitespace char falls inside some sentence
+        inside = set()
+        for a, b in covered:
+            inside.update(range(a, b))
+        for i, ch in enumerate(s):
+            if not ch.isspace():
+                assert i in inside, (repr(s), i)
+        # every token maps to the sentence containing it
+        for tok in tokenize(s):
+            assert tok.sent.start <= tok.idx < tok.sent.end or (
+                # tokens after the last boundary attach to the last sentence
+                tok.sent is sents[-1]
+            ), (repr(s), tok)
