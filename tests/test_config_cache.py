@@ -463,3 +463,33 @@ def test_array_store_concurrent_process_writers(tmp_path):
             np.testing.assert_array_equal(
                 store[f"{tag}-{i}"], np.full((i + 1,), float(i))
             )
+
+
+def test_confdict_flatten_roundtrip_fuzz():
+    """Property: any nested config tree survives flatten -> dotted-set
+    reconstruction -> to_dict unchanged (the dotted-override surface the
+    grids sweep through must be lossless)."""
+    import random
+
+    rng = random.Random(1)
+
+    def rand_tree(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return rng.choice([1, 2.5, "s", None, [1, 2], True, {}])
+        return {f"k{i}": rand_tree(depth - 1) for i in range(rng.randint(1, 3))}
+
+    for _ in range(200):
+        tree = {f"k{i}": rand_tree(2) for i in range(rng.randint(1, 4))}
+        cd = ConfDict(tree)
+        assert cd.to_dict() == tree
+        rebuilt = ConfDict()
+        for k, v in cd.flat().items():
+            rebuilt[k] = v
+        assert rebuilt.to_dict() == tree
+        # uid is order-invariant over the same flattening
+        shuffled = list(cd.flat().items())
+        rng.shuffle(shuffled)
+        other = ConfDict()
+        for k, v in shuffled:
+            other[k] = v
+        assert other.to_uid() == cd.to_uid()
