@@ -179,6 +179,32 @@ def test_experiment_mesh_dp_tp_from_config(tmp_path):
         run("run_bad", n_devices=1, model_parallel=2)
 
 
+def test_experiment_mesh_resume_from_last_ckpt(tmp_path):
+    """Resume on a dp4 x tp2 mesh: last.ckpt written by a sharded run is
+    restored with state_shardings re-applied (trainer.load_checkpoint's
+    mesh branch) and training continues from the next epoch."""
+    study_path = make_synthetic_study(
+        tmp_path / "data", with_video=False, n_parcels=32, duration=40.0
+    )
+    cfg = _config(tmp_path, study_path)
+    cfg["n_devices"] = 8
+    cfg["model_parallel"] = 2
+    cfg["n_epochs"] = 1
+    exp1 = Experiment(**cfg)
+    exp1.run()
+    assert (tmp_path / "run" / "last.ckpt").exists()
+
+    cfg2 = dict(cfg)
+    cfg2["n_epochs"] = 2
+    cfg2["infra"] = {**cfg["infra"], "mode": "force"}
+    exp2 = Experiment(**cfg2)
+    out = exp2.run()
+    assert np.isfinite(out["val/pearson"])
+    # resumed at epoch 1: exactly ONE epoch trained in the second run
+    assert len(exp2._trainer.history) == 1
+    assert dict(exp2._trainer.mesh.shape) == {"data": 4, "model": 2}
+
+
 def test_experiment_average_submissions(tmp_path):
     """Two runs -> grid folder -> averaged submission."""
     from algonauts2025_tpu.grids.average_submissions import average_submissions
