@@ -409,6 +409,39 @@ class TestVideoSequenceParallel:
             TinyVideoBackbone(n_frames=8, mesh=mesh8, sequence_parallel=True)
         TinyVideoBackbone(n_frames=8, mesh=mesh, sequence_parallel=True)
 
+    def test_vjepa2_feature_sp_matches(self, tmp_path):
+        """End-to-end through the FEATURE (ring-buffer decode, sliding
+        windows, window_batch padding, cache writes): an injected SP
+        backbone produces the same arrays as the plain one."""
+        import pytest as _pytest
+
+        from algonauts2025_tpu.cache.map_runner import MapInfra
+        from algonauts2025_tpu.core.events import Video
+        from algonauts2025_tpu.data.synthetic import _write_video
+        from algonauts2025_tpu.features.video import VJEPA2, TinyVideoBackbone
+
+        path = tmp_path / "v.mkv"
+        if not _write_video(path, 6.0, np.random.default_rng(0), fps=8):
+            _pytest.skip("no video encoder available")
+        ev = Video(start=0.0, timeline="tl", filepath=str(path))
+
+        def run(sub, backbone):
+            fv = VJEPA2(
+                model_name="tiny-random", window_batch=2,
+                infra=MapInfra(folder=str(tmp_path / sub)),
+            )
+            fv.set_backbone(backbone)
+            return [np.asarray(x) for x in fv._get_data([ev])]
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+        plain = run("plain", TinyVideoBackbone(n_frames=16))
+        sp = run(
+            "sp",
+            TinyVideoBackbone(n_frames=16, mesh=mesh, sequence_parallel=True),
+        )
+        assert len(plain) == len(sp) == 1
+        np.testing.assert_allclose(plain[0], sp[0], atol=2e-5)
+
     def test_feature_config_knob(self):
         """`VJEPA2(sequence_parallel=k)` reaches SP from plain config, and
         the knob is topology-only (excluded from the cache uid)."""
