@@ -98,6 +98,15 @@ class Experiment(pydantic.BaseModel):
         if self.brain_model_config.n_subjects is None:
             self.brain_model_config.n_subjects = self.data.n_subjects
 
+    def _exclude_from_cache_uid(self) -> list[str]:
+        """Device topology is placement, not task identity: the reference
+        reaches DDP via infra.gpus_per_node and exca excludes infra from
+        task uids, so re-running a cached experiment on a different
+        device count reuses the result (mode='force' recomputes).  Same
+        contract as the feature-level pipeline_stages/sequence_parallel
+        exclusions.  profile only adds a trace artifact."""
+        return ["n_devices", "model_parallel", "profile"]
+
     # -- lifecycle --------------------------------------------------------
     def run(self) -> dict[str, float]:
         return self.infra.run_cached(self._run)

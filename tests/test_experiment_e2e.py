@@ -258,3 +258,24 @@ def test_experiment_trimodal_end_to_end(tmp_path):
     assert np.isfinite(out["val/pearson"])
     sub = np.load(tmp_path / "run" / "submission.npy", allow_pickle=True).item()
     assert all(np.isfinite(a).all() for c in sub.values() for a in c.values())
+
+
+def test_topology_excluded_from_task_uid(tmp_path):
+    """Device topology is placement, not task identity (reference: exca
+    excludes infra — where gpus_per_node lives — from task uids): two
+    configs differing only in n_devices/model_parallel/profile share a
+    cache uid; semantic fields still split it."""
+    study_path = make_synthetic_study(
+        tmp_path / "data", with_video=False, n_parcels=16, duration=40.0
+    )
+    cfg = _config(tmp_path, study_path)
+
+    def uid(**overrides):
+        c = dict(cfg)
+        c.update(overrides)
+        return Experiment(**c).infra.uid()
+
+    base = uid()
+    assert uid(n_devices=8, model_parallel=2, profile=True) == base
+    assert uid(seed=99) != base
+    assert uid(n_epochs=7) != base
