@@ -104,8 +104,9 @@ class Experiment(pydantic.BaseModel):
         task uids, so re-running a cached experiment on a different
         device count reuses the result (mode='force' recomputes).  Same
         contract as the feature-level pipeline_stages/sequence_parallel
-        exclusions.  profile only adds a trace artifact."""
-        return ["n_devices", "model_parallel", "profile"]
+        exclusions.  profile only adds a trace artifact; accelerator is a
+        parity placeholder (device selection is via JAX)."""
+        return ["n_devices", "model_parallel", "profile", "accelerator"]
 
     # -- lifecycle --------------------------------------------------------
     def run(self) -> dict[str, float]:

@@ -276,6 +276,7 @@ def test_topology_excluded_from_task_uid(tmp_path):
         return Experiment(**c).infra.uid()
 
     base = uid()
-    assert uid(n_devices=8, model_parallel=2, profile=True) == base
+    assert uid(n_devices=8, model_parallel=2, profile=True,
+               accelerator="cpu") == base
     assert uid(seed=99) != base
     assert uid(n_epochs=7) != base
