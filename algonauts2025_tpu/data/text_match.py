@@ -21,16 +21,27 @@ _ABBREV = {
     "a.m", "p.m", "u.s", "inc", "ltd", "co", "gen", "col", "capt", "sgt",
     "ave", "blvd", "rd", "mt", "ft", "dept", "approx",
     # titles that precede proper names (r4 held-out corpus found "Gov."
-    # and "Fr." causing false splits — ACCURACY.md r4; closed in r5)
-    "gov", "fr", "lt", "maj", "cmdr", "rev", "hon", "pres", "sen", "rep",
-    "det", "supt", "adm", "cpl", "pvt", "sis", "msgr", "atty",
+    # and "Fr." causing false splits — ACCURACY.md r4; closed in r5).
+    # Tokens that are ALSO ordinary dialogue words live in the
+    # capitalized-only set below instead.
+    "fr", "lt", "maj", "cmdr", "det", "supt", "adm", "cpl", "pvt",
+    "msgr", "atty",
     # month abbreviations ("Jan. 12"); terminal-capable, see below.  Day
     # abbreviations are deliberately NOT listed: "sat"/"sun"/"may" are
     # ordinary words whose suppression would merge real boundaries
     # (recall matters more than precision for context building).
-    "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep", "sept",
+    "jan", "feb", "apr", "jun", "jul", "aug", "sep", "sept",
     "oct", "nov", "dec",
 }
+
+#: abbreviations that collide with ordinary lowercase words ("thanks,
+#: sis." is NOT Sister; "his rep. Nobody trusts him", "give it a rev.",
+#: "all right, gov.", "don't mar. the finish"): suppression applies only
+#: when the RAW token is capitalized — the title/month register ("Gov.
+#: Whitmore", "Rep. Alvarez", "Mar. 12") — so the lowercase word usage
+#: keeps its sentence boundary (r5 meta-review: the unconditional list
+#: merged vocative-final sentences, the worst failure class).
+_CAPITALIZED_ONLY_ABBREV = {"gov", "rev", "rep", "pres", "sen", "hon", "mar"}
 
 
 def _encode_as_text(A: tp.Sequence, B: tp.Sequence) -> tuple[str, str]:
@@ -148,10 +159,16 @@ def split_sentences(text: str) -> list[Sentence]:
         if "!" not in marks and "?" not in marks:
             # word immediately before the punctuation
             before = text[: m.start()].rstrip()
-            last_word = (
-                before.split()[-1].lower().strip("\"'()[]") if before.split() else ""
+            raw_word = (
+                before.split()[-1].strip("\"'()[]") if before.split() else ""
+            ).rstrip(".")
+            last_word = raw_word.lower()
+            # ambiguous tokens ("Rep."/"rep", "Gov."/"gov", "Mar."/"mar")
+            # count as abbreviations only in their capitalized
+            # title/month register; lowercase is the ordinary word
+            is_abbrev = last_word in _ABBREV or (
+                last_word in _CAPITALIZED_ONLY_ABBREV and raw_word[:1].isupper()
             )
-            last_word = last_word.rstrip(".")
             # dotted acronym ("ph.d", "d.m.v"): the '.' belongs to the
             # token; split only when handing over to a capital.  Keyed on
             # an ALPHABETIC dot-stripped core so prices/percent decimals
@@ -159,9 +176,9 @@ def split_sentences(text: str) -> list[Sentence]:
             if "." in last_word and last_word.replace(".", "").isalpha():
                 if not following.isupper():
                     continue
-                if last_word in _ABBREV and last_word not in _TERMINAL_OK_ABBREV:
+                if is_abbrev and last_word not in _TERMINAL_OK_ABBREV:
                     continue  # "e.g. Friday" still flows
-            elif last_word in _ABBREV and not (
+            elif is_abbrev and not (
                 last_word in _TERMINAL_OK_ABBREV and following.isupper()
             ):
                 continue

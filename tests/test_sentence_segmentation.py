@@ -175,3 +175,32 @@ def test_split_sentences_fuzz_structural_invariants():
                 # tokens after the last boundary attach to the last sentence
                 tok.sent is sents[-1]
             ), (repr(s), tok)
+
+
+def test_ambiguous_abbreviations_are_case_sensitive():
+    """r5 meta-review: tokens that are both titles and ordinary dialogue
+    words ("rep", "rev", "gov", "hon", "sis"; month "mar") suppress only
+    in their capitalized title/month register — lowercase word usage
+    keeps its boundary (a merged boundary corrupts every following
+    word's context; strictly worse than a false split)."""
+    from algonauts2025_tpu.data.text_match import split_sentences
+
+    merged_is_bug = [
+        "Thanks, sis. See you at eight.",
+        "Thanks, hon. See you at eight.",
+        "He has a bad rep. Nobody trusts him.",
+        "Give it a rev. Then shift up.",
+        "All right, gov. Keep it moving.",
+    ]
+    for text in merged_is_bug:
+        assert len(split_sentences(text)) == 2, text
+
+    split_is_bug = [
+        "Gov. Whitmore spoke at noon. Nobody listened.",
+        "Rep. Alvarez voted no. The bill died.",
+        "Rev. Lovejoy married them. It rained.",
+        "Hon. Judge Patel will hear it on Jan. 12. Bring the lease.",
+        "The hearing moved to Mar. 12. Bring the lease.",
+    ]
+    for text in split_is_bug:
+        assert len(split_sentences(text)) == 2, text
